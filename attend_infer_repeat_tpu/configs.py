@@ -1,0 +1,160 @@
+"""Configuration dataclasses and the five benchmark presets.
+
+Replaces the reference's ``tf.flags`` config surface
+(``experiment.py:~1-40`` flag definitions + ``experiment_tools.py``
+parsing) with plain dataclasses (SURVEY §6 config plan).  The five named
+presets mirror ``BASELINE.json``'s config list.
+
+Hyperparameter provenance: values marked "[reconstructed]" follow the
+reference's recalled defaults (``experiment.py``: lr=1e-5, batch=64,
+max_steps=3, RMSProp momentum 0.9); values marked "[chosen]" are this
+build's choices where the reference value could not be verified (the
+reference mount was empty — SURVEY §0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture + generative-model hyperparameters for AIR."""
+
+    img_size: Tuple[int, int] = (50, 50)
+    glimpse_size: Tuple[int, int] = (20, 20)
+    n_what: int = 50                      # appearance latent dim [reconstructed]
+    max_steps: int = 3                    # object steps [reconstructed]
+
+    # Network widths [chosen; reference ~256-wide MLPs / LSTM 256, uncertain]
+    rnn_hidden: int = 256
+    encoder_hidden: Tuple[int, ...] = (256,)
+    glimpse_encoder_hidden: Tuple[int, ...] = (256,)
+    decoder_hidden: Tuple[int, ...] = (256,)
+    transform_hidden: Tuple[int, ...] = (256,)
+    steps_hidden: Tuple[int, ...] = (128,)
+    baseline_hidden: Tuple[int, ...] = (256, 256)
+
+    # Gaussian-head parameterization
+    scale_offset: float = -2.0            # softplus(raw + offset): small init std [chosen]
+    min_scale: float = 1e-4
+
+    # z_where prior N(loc, scale²) per (sx, sy, tx, ty).  Scale prior ~0.5:
+    # a 28px digit on a 50px canvas needs an attention window of ~0.56 of
+    # the canvas [chosen; reference hand-set values uncertain].
+    where_prior_loc: Tuple[float, ...] = (0.5, 0.5, 0.0, 0.0)
+    where_prior_scale: Tuple[float, ...] = (0.2, 0.2, 1.0, 1.0)
+
+    # Presence predictor: positive initial logit bias so the model starts
+    # by taking steps (explore), with the annealed geometric prior pruning
+    # them later [chosen].
+    steps_bias: float = 2.0
+    explore_eps: Optional[float] = None   # optional presence-prob floor
+                                          # (reference cell.py ctor arg)
+
+    # Likelihood
+    output_std: float = 0.3               # fixed σ_x [reconstructed, uncertain]
+    output_multiplier: float = 1.0
+
+    # Computation dtype for matmuls ("float32" or "bfloat16"); params stay
+    # float32 either way.
+    dtype: str = "float32"
+
+
+@dataclasses.dataclass(frozen=True)
+class PriorAnnealConfig:
+    """Anneal of the geometric prior's step-success probability.
+
+    Reference: schedule built in ``experiment.py`` via the annealing helper
+    in ``ops.py``; recalled endpoints 1-1e-7 → 1e-5 (explore → sparsify).
+    """
+
+    init_success_prob: float = 1.0 - 1e-7
+    final_success_prob: float = 1e-5
+    anneal_start: int = 1_000
+    anneal_steps: int = 100_000
+    schedule: str = "exp"                 # "exp" | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop settings (reference ``experiment.py`` flags)."""
+
+    batch_size: int = 64                  # [reconstructed]
+    learning_rate: float = 1e-5           # [reconstructed]
+    momentum: float = 0.9                 # RMSProp momentum [reconstructed]
+    baseline_learning_rate: float = 1e-4  # separate NVIL optimizer [chosen]
+    l2_weight: float = 0.0                # optional L2 flag [reconstructed]
+    grad_clip_norm: Optional[float] = None
+    n_iters: int = 300_000
+    use_baseline: bool = True             # NVIL ablation switch (config 4)
+    seed: int = 0
+
+    log_every: int = 1_000
+    fig_every: int = 10_000
+    save_every: int = 10_000
+    eval_batches: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """On-device multi-digit canvas synthesis settings (SURVEY §4.4)."""
+
+    canvas_size: Tuple[int, int] = (50, 50)
+    digit_size: Tuple[int, int] = (28, 28)
+    min_digits: int = 0
+    max_digits: int = 2
+    scale_range: Tuple[float, float] = (1.0, 1.0)   # optional digit rescale
+    n_train: int = 60_000
+    n_eval: int = 10_000
+    source: str = "auto"   # "auto" | "sklearn" | "mnist:<path>"
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = ModelConfig()
+    prior: PriorAnnealConfig = PriorAnnealConfig()
+    train: TrainConfig = TrainConfig()
+    data: DataConfig = DataConfig()
+    name: str = "canonical"
+
+
+def _preset(name, **kw) -> Config:
+    return Config(name=name, **kw)
+
+
+#: The five benchmark presets from BASELINE.json.
+PRESETS = {
+    # 1. Degenerate AIR = one-glimpse VAE; CPU-runnable golden config.
+    "single_digit": _preset(
+        "single_digit",
+        model=ModelConfig(max_steps=1),
+        data=DataConfig(min_digits=1, max_digits=1),
+        train=TrainConfig(n_iters=50_000),
+    ),
+    # 2. Canonical paper setup: 0–2 digits, 50×50, 3 steps.
+    "canonical": _preset("canonical"),
+    # 3. Crowded: 0–5 digits on 100×100, 5 steps.
+    "crowded": _preset(
+        "crowded",
+        model=ModelConfig(img_size=(100, 100), max_steps=5),
+        data=DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5),
+    ),
+    # 4. IWAE k=5 eval bound + NVIL-baseline ablation.
+    "iwae": _preset(
+        "iwae",
+        train=TrainConfig(use_baseline=False),
+    ),
+    # 5. Batch-8192 amortized inference/generation serving sweep.
+    "serving": _preset(
+        "serving",
+        train=TrainConfig(batch_size=8192),
+    ),
+}
+
+
+def get_config(name: str) -> Config:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,119 @@
+"""The AIR recurrent cell: one attend-infer step, scanned over objects.
+
+TPU-native re-design of the reference's ``attend_infer_repeat/cell.py``
+(``AIRCell(snt.RNNCore)`` driven by ``tf.nn.dynamic_rnn`` — SURVEY §4.2).
+The TF1 dynamic RNN becomes a fixed-unroll ``nn.scan``/``lax.scan`` over
+``max_steps`` with presence masking instead of dynamic halting — static
+shapes, one XLA program, no data-dependent control flow.
+
+Per step t (reference ``cell.py:_build``):
+  1. LSTM over [image embedding, z_what_{t-1}, z_where_{t-1}, z_pres_{t-1}]
+  2. q(z_where_t) from the LSTM state; reparameterized sample
+  3. attend: bilinear glimpse crop at z_where_t (separable-matmul gather)
+  4. q(z_what_t) from the glimpse; reparameterized sample
+  5. q(z_pres_t) = Bernoulli(p_t · z_pres_{t-1}) — hard 0/1 sample, the
+     monotone chain (once a step stops, all later steps are absent)
+
+The image embedding is computed once outside the scan (the reference
+re-encodes the unchanged image every step — ``modules.py:Encoder`` call in
+``cell.py`` — which is redundant work this design hoists out).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from attend_infer_repeat_tpu.configs import ModelConfig
+from attend_infer_repeat_tpu.models.modules import (
+    GlimpseEncoder,
+    StepsPredictor,
+    StochasticTransformParam,
+)
+from attend_infer_repeat_tpu.ops.spatial_transformer import st_gather
+
+
+@struct.dataclass
+class AIRStepOutput:
+    """Per-step posterior statistics and samples (time-major under scan)."""
+
+    where_loc: jax.Array     # (B, 4)
+    where_scale: jax.Array   # (B, 4)
+    z_where: jax.Array       # (B, 4)
+    what_loc: jax.Array      # (B, n_what)
+    what_scale: jax.Array    # (B, n_what)
+    z_what: jax.Array        # (B, n_what)
+    pres_prob: jax.Array     # (B,) effective presence prob p_t · pres_{t-1}
+    pres: jax.Array          # (B,) hard 0/1 sample
+    pres_prev: jax.Array     # (B,) presence of previous step (mask for log q)
+
+
+Carry = Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array],
+              jax.Array, jax.Array, jax.Array]
+
+
+class AIRCell(nn.Module):
+    """One attend-infer-repeat step.  Scanned via ``nn.scan`` in the model."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, carry: Carry, key: jax.Array):
+        img, embed, lstm_state, z_what, z_where, z_pres = carry
+        cfg = self.cfg
+        batch = img.shape[0]
+        k_where, k_what, k_pres = jax.random.split(key, 3)
+
+        lstm_in = jnp.concatenate([embed, z_what, z_where, z_pres], axis=-1)
+        lstm_state, h = nn.OptimizedLSTMCell(cfg.rnn_hidden)(lstm_state,
+                                                             lstm_in)
+
+        where_loc, where_scale = StochasticTransformParam(cfg)(h)
+        z_where = where_loc + where_scale * jax.random.normal(
+            k_where, where_loc.shape)
+
+        glimpse = st_gather(img, z_where, cfg.glimpse_size)
+        what_loc, what_scale = GlimpseEncoder(cfg)(
+            glimpse.reshape(batch, -1))
+        z_what = what_loc + what_scale * jax.random.normal(
+            k_what, what_loc.shape)
+
+        p = StepsPredictor(cfg)(h)                      # (B, 1)
+        pres_prev = z_pres                              # (B, 1)
+        p_eff = p * pres_prev                           # monotone chain
+        u = jax.random.uniform(k_pres, p_eff.shape)
+        z_pres = (u < p_eff).astype(jnp.float32)        # hard 0/1
+
+        out = AIRStepOutput(
+            where_loc=where_loc, where_scale=where_scale, z_where=z_where,
+            what_loc=what_loc, what_scale=what_scale, z_what=z_what,
+            pres_prob=p_eff[..., 0], pres=z_pres[..., 0],
+            pres_prev=pres_prev[..., 0])
+        new_carry = (img, embed, lstm_state, z_what, z_where, z_pres)
+        return new_carry, out
+
+
+def initial_carry(cfg: ModelConfig, img: jax.Array,
+                  embed: jax.Array) -> Carry:
+    """Zero-initialized scan carry; presence starts at 1 (chain alive)."""
+    batch = img.shape[0]
+    zeros = lambda d: jnp.zeros((batch, d), jnp.float32)
+    lstm_state = (zeros(cfg.rnn_hidden), zeros(cfg.rnn_hidden))
+    return (img, embed, lstm_state, zeros(cfg.n_what), zeros(4),
+            jnp.ones((batch, 1), jnp.float32))
+
+
+def make_scan_cell(cfg: ModelConfig) -> Any:
+    """``AIRCell`` lifted over the object axis with broadcast parameters."""
+    return nn.scan(
+        AIRCell,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=0,
+        out_axes=0,
+        length=cfg.max_steps,
+    )(cfg)

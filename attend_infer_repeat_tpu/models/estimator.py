@@ -1,0 +1,114 @@
+"""Gradient estimator: reparameterization + NVIL/REINFORCE surrogate loss.
+
+TPU-native re-design of the reference's ``AIRModel.train_step`` target
+assembly (``model.py`` — SURVEY §4.3).  The reference builds two TF
+optimizers over two variable collections; here the whole objective is ONE
+scalar with stop-gradients placed so a single ``jax.grad`` reproduces the
+two-optimizer split exactly:
+
+  loss = mean( −elbo                                  # reparam path
+               − sg(L − b_t) · Σ_t log q(z_pres_t)    # REINFORCE, NVIL-centered
+               + (b_t − sg(L))²  )                    # baseline regression
+
+- ``−elbo`` gives pathwise gradients for the continuous latents
+  (z_what, z_where) and exact gradients for the analytic count-KL.
+- The score-function term carries the discrete z_pres gradient; the
+  learning signal ``L`` is the full per-example ELBO (as the reference
+  uses), centered by the input-dependent NVIL baseline ``b_t``
+  (Mnih & Gregor 2014).  ``sg(·)`` blocks both ``L`` and ``b`` there, so
+  this term *only* pushes the presence probabilities.
+- The baseline MSE term reaches only baseline parameters: its target is
+  stop-gradiented and the baseline network's inputs are stop-gradiented
+  inside the model (``air.py``), so no gradient leaks into model params.
+
+The monotone-chain log q(z_pres):  once the chain has stopped
+(pres_prev = 0) the step's "distribution" is deterministic, so its
+log-prob is masked out — ``log q = Σ_t pres_prev_t · log Bern(pres_t; p_t)``.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from attend_infer_repeat_tpu.models.air import AIROutputs
+from attend_infer_repeat_tpu.ops.distributions import bernoulli_log_prob
+
+sg = jax.lax.stop_gradient
+
+
+def presence_log_prob(outputs: AIROutputs) -> jax.Array:
+    """Per-step log q(z_pres_t | chain) masked by the previous presence.
+
+    ``pres_prob`` is the effective prob (already multiplied by the sampled
+    previous presence), which equals the raw conditional wherever the mask
+    is 1, so using it inside the mask is exact.  Returns (B, T).
+    """
+    s = outputs.steps
+    return s.pres_prev * bernoulli_log_prob(s.pres, s.pres_prob)
+
+
+def surrogate_loss(outputs: AIROutputs,
+                   l2_params_norm: jax.Array | float = 0.0,
+                   l2_weight: float = 0.0,
+                   ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """Single scalar surrogate whose gradient is the AIR estimator.
+
+    Returns (loss, metrics).  Metrics are per-batch means of the ELBO
+    decomposition plus estimator diagnostics.
+    """
+    elbo = outputs.elbo                                     # (B,)
+    log_q = presence_log_prob(outputs)                      # (B, T)
+
+    signal = sg(elbo)[:, None]                              # (B, 1)
+    if outputs.baseline is not None:
+        advantage = signal - sg(outputs.baseline)           # (B, T)
+        baseline_mse = jnp.mean(
+            jnp.sum((outputs.baseline - signal) ** 2, axis=-1))
+    else:
+        advantage = signal
+        baseline_mse = jnp.asarray(0.0)
+
+    reinforce = jnp.sum(advantage * log_q, axis=-1)         # (B,)
+
+    loss = jnp.mean(-elbo - reinforce) + baseline_mse
+    if l2_weight:
+        loss = loss + l2_weight * l2_params_norm
+
+    metrics = {
+        "elbo": jnp.mean(elbo),
+        "log_likelihood": jnp.mean(outputs.log_likelihood),
+        "kl_what": jnp.mean(outputs.kl_what),
+        "kl_where": jnp.mean(outputs.kl_where),
+        "kl_steps": jnp.mean(outputs.kl_steps),
+        "baseline_mse": baseline_mse,
+        "advantage_abs": jnp.mean(jnp.abs(advantage)),
+        "expected_steps": jnp.mean(outputs.expected_steps),
+        "predicted_steps": jnp.mean(outputs.predicted_steps),
+    }
+    return loss, metrics
+
+
+def count_accuracy(outputs: AIROutputs, true_counts: jax.Array) -> jax.Array:
+    """Fraction of images whose inferred object count matches ground truth.
+
+    The reference's ``num_step_accuracy`` (``model.py``): compares the
+    sampled count ``Σ_t z_pres_t`` to the true digit count.  Ground-truth
+    counts are evaluation-only — never used in training (SURVEY §1.4).
+    """
+    pred = outputs.predicted_steps
+    return jnp.mean((pred == true_counts.astype(pred.dtype))
+                    .astype(jnp.float32))
+
+
+def iwae_bound(elbo_particles: jax.Array, axis: int = 0) -> jax.Array:
+    """Importance-weighted bound from per-particle ELBO samples.
+
+    ``log (1/k) Σ_k exp(elbo_k)`` along ``axis`` (BASELINE.json config 4).
+    Inputs are per-particle single-sample ELBO estimates of shape
+    ``(k, B)`` by default.
+    """
+    k = elbo_particles.shape[axis]
+    return jax.nn.logsumexp(elbo_particles, axis=axis) - jnp.log(float(k))

@@ -1,0 +1,168 @@
+"""Neural modules: encoders, decoder, Gaussian heads, presence predictor.
+
+TPU-native re-design of the reference's ``attend_infer_repeat/modules.py``
+(Sonnet ``Encoder``/``Decoder``/``StochasticTransformParam``/
+``StepsPredictor``/``ParametrisedGaussian``/baseline MLP — SURVEY §3 #2).
+Flax linen; XLA fuses these MLPs into the surrounding program, so no hand
+kernels are needed here (SURVEY §3.2 item 3).  All matmuls honor the
+configured computation dtype (bfloat16 on TPU keeps them on the MXU's
+native precision; params remain float32).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from attend_infer_repeat_tpu.configs import ModelConfig
+
+
+def _dtype(cfg: ModelConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
+class MLP(nn.Module):
+    """ELU MLP; hidden widths then an optional linear head."""
+
+    hidden: Sequence[int]
+    out: int | None = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        for width in self.hidden:
+            x = nn.elu(nn.Dense(width, dtype=self.dtype)(x))
+        if self.out is not None:
+            x = nn.Dense(self.out, dtype=self.dtype)(x)
+        return x.astype(jnp.float32)
+
+
+class Encoder(nn.Module):
+    """Image encoder: flat image → embedding (reference ``modules.py:Encoder``)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img_flat):
+        return MLP(self.cfg.encoder_hidden, dtype=_dtype(self.cfg))(img_flat)
+
+
+class GaussianHead(nn.Module):
+    """features → (loc, scale); scale via softplus with a negative offset.
+
+    Reference ``modules.py:ParametrisedGaussian`` — the offset makes initial
+    posterior scales small, and ``min_scale`` keeps them positive.
+    """
+
+    cfg: ModelConfig
+    event_dim: int
+    loc_bias: Tuple[float, ...] | None = None
+
+    @nn.compact
+    def __call__(self, h):
+        d = _dtype(self.cfg)
+        loc = nn.Dense(self.event_dim, dtype=d)(h).astype(jnp.float32)
+        raw = nn.Dense(self.event_dim, dtype=d)(h).astype(jnp.float32)
+        scale = jax.nn.softplus(raw + self.cfg.scale_offset) + self.cfg.min_scale
+        if self.loc_bias is not None:
+            loc = loc + jnp.asarray(self.loc_bias, jnp.float32)
+        return loc, scale
+
+
+class StochasticTransformParam(nn.Module):
+    """LSTM features → q(z_where) parameters (4 loc + 4 softplus scales).
+
+    Reference ``modules.py:StochasticTransformParam``.  The loc is biased
+    toward the z_where prior mean so initial attention windows are centered
+    digit-sized crops rather than random noise.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h):
+        h = MLP(self.cfg.transform_hidden, dtype=_dtype(self.cfg))(h)
+        return GaussianHead(self.cfg, 4,
+                            loc_bias=self.cfg.where_prior_loc)(h)
+
+
+class GlimpseEncoder(nn.Module):
+    """Flat glimpse → q(z_what) parameters (reference glimpse encoder +
+    ``ParametrisedGaussian`` head)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, glimpse_flat):
+        h = MLP(self.cfg.glimpse_encoder_hidden,
+                dtype=_dtype(self.cfg))(glimpse_flat)
+        return GaussianHead(self.cfg, self.cfg.n_what)(h)
+
+
+class GlimpseDecoder(nn.Module):
+    """z_what → glimpse pixels in (0, 1) (reference ``modules.py:Decoder``).
+
+    Sigmoid output per glimpse; the canvas is the presence-weighted sum of
+    pasted glimpses, so an absent object contributes exactly zero.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z_what):
+        gh, gw = self.cfg.glimpse_size
+        x = MLP(self.cfg.decoder_hidden, out=gh * gw,
+                dtype=_dtype(self.cfg))(z_what)
+        return jax.nn.sigmoid(x).reshape(x.shape[:-1] + (gh, gw))
+
+
+class StepsPredictor(nn.Module):
+    """LSTM features → presence probability (reference ``StepsPredictor``).
+
+    The final bias initializes positive (``cfg.steps_bias``) so early
+    training explores taking steps; the annealed geometric prior later
+    prunes unused ones.  ``explore_eps`` optionally squashes the
+    probability into [eps, 1-eps] (reference ``cell.py`` ctor option).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, h):
+        h = MLP(self.cfg.steps_hidden, dtype=_dtype(self.cfg))(h)
+        logit = nn.Dense(
+            1, dtype=jnp.float32,
+            bias_init=nn.initializers.constant(self.cfg.steps_bias))(h)
+        p = jax.nn.sigmoid(logit)
+        if self.cfg.explore_eps is not None:
+            eps = self.cfg.explore_eps
+            p = eps + (1.0 - 2.0 * eps) * p
+        return p  # (..., 1)
+
+
+class BaselineMLP(nn.Module):
+    """NVIL input-dependent baseline (Mnih & Gregor 2014; reference
+    ``BaselineMLP`` — SURVEY §1.3).
+
+    Predicts the per-step learning signal from the raw image and
+    stop-gradiented per-step inference features.  Lives in its own
+    top-level parameter subtree (``baseline``) so the optimizer can train
+    it with a separate learning rate and exclude it from the model
+    gradient, reproducing the reference's two-optimizer split.
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, img_flat, step_features):
+        # img_flat (B, H*W); step_features (B, T, F) — broadcast image over steps.
+        t = step_features.shape[-2]
+        img_b = jnp.broadcast_to(img_flat[..., None, :],
+                                 img_flat.shape[:-1] + (t, img_flat.shape[-1]))
+        x = jnp.concatenate([img_b, step_features], axis=-1)
+        b = MLP(self.cfg.baseline_hidden, out=1, dtype=_dtype(self.cfg))(x)
+        return b[..., 0]  # (B, T)

@@ -1,0 +1,199 @@
+"""Estimator correctness: the REINFORCE+NVIL surrogate against exact
+enumerated gradients, and the two-optimizer gradient split (SURVEY §5).
+
+These are the tests the reference never had for its numerically touchiest
+code path (``model.py:train_step``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from attend_infer_repeat_tpu.configs import get_config
+from attend_infer_repeat_tpu.models import AIRModel, surrogate_loss
+from attend_infer_repeat_tpu.models.air import AIROutputs
+from attend_infer_repeat_tpu.models.cell import AIRStepOutput
+from attend_infer_repeat_tpu.ops.distributions import bernoulli_log_prob
+
+
+def _toy_outputs(theta, keys, a=2.0, c=-1.0, baseline_val=None):
+    """Fabricate AIROutputs for a 2-step monotone presence chain driven by
+    a single parameter vector theta (B=len(keys) examples, T=2).
+
+    p_t = sigmoid(theta_t); elbo = a·(pres_1 + pres_2) + c + 0.1·theta_0
+    (the last term exercises the direct/reparam path).  Everything else is
+    filled with consistent placeholder stats.
+    """
+    p_raw = jax.nn.sigmoid(theta)                         # (2,)
+    B = keys.shape[0]
+
+    def sample_one(key):
+        k1, k2 = jax.random.split(key)
+        pres1 = (jax.random.uniform(k1) < p_raw[0]).astype(jnp.float32)
+        p2_eff = p_raw[1] * pres1
+        pres2 = (jax.random.uniform(k2) < p2_eff).astype(jnp.float32)
+        return pres1, pres2, p2_eff
+
+    pres1, pres2, p2_eff = jax.vmap(sample_one)(keys)
+    pres = jnp.stack([pres1, pres2], axis=-1)             # (B, 2)
+    pres_prob = jnp.stack([jnp.full((B,), p_raw[0]), p2_eff], axis=-1)
+    pres_prev = jnp.concatenate([jnp.ones((B, 1)), pres[:, :1]], axis=-1)
+
+    elbo = a * jnp.sum(pres, -1) + c + 0.1 * theta[0]
+    z = jnp.zeros((B, 2, 1))
+    steps = AIRStepOutput(
+        where_loc=z, where_scale=z + 1, z_where=z,
+        what_loc=z, what_scale=z + 1, z_what=z,
+        pres_prob=pres_prob, pres=pres, pres_prev=pres_prev)
+    baseline = (jnp.full((B, 2), baseline_val)
+                if baseline_val is not None else None)
+    zero = jnp.zeros((B,))
+    return AIROutputs(
+        elbo=elbo, log_likelihood=elbo, kl_what=zero, kl_where=zero,
+        kl_steps=zero, canvas=jnp.zeros((B, 1, 1)),
+        glimpses=jnp.zeros((B, 2, 1, 1)), steps=steps,
+        num_steps_pmf=jnp.zeros((B, 3)), expected_steps=zero,
+        predicted_steps=jnp.sum(pres, -1), baseline=baseline)
+
+
+def _exact_objective(theta, a=2.0, c=-1.0):
+    """Enumerated E[elbo] over the 3 outcomes of the monotone chain."""
+    p1 = jax.nn.sigmoid(theta[0])
+    p2 = jax.nn.sigmoid(theta[1])
+    # outcomes: n=0 (1-p1), n=1 p1(1-p2), n=2 p1 p2
+    e0 = c + 0.1 * theta[0]
+    return ((1 - p1) * (a * 0 + e0) + p1 * (1 - p2) * (a * 1 + e0)
+            + p1 * p2 * (a * 2 + e0))
+
+
+class TestEnumeratedGradient:
+    def test_reinforce_matches_exact_gradient(self):
+        """Mean surrogate gradient over many keys == enumerated gradient of
+        E[elbo] w.r.t. the presence parameters, within Monte-Carlo error."""
+        theta = jnp.array([0.3, -0.4])
+        n = 60_000
+        keys = jax.random.split(jax.random.PRNGKey(0), n)
+
+        def neg_surrogate(th):
+            outputs = _toy_outputs(th, keys)
+            loss, _ = surrogate_loss(outputs)
+            return -loss  # surrogate minimizes -E[elbo]
+
+        got = jax.grad(neg_surrogate)(theta)
+        want = jax.grad(_exact_objective)(theta)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.03, rtol=0.05)
+
+    def test_baseline_reduces_variance_not_bias(self):
+        """With a constant baseline the gradient estimate stays unbiased and
+        its per-key variance drops (the point of NVIL)."""
+        theta = jnp.array([0.3, -0.4])
+        want = jax.grad(_exact_objective)(theta)
+
+        def grad_per_chunk(baseline_val, seed):
+            keys = jax.random.split(jax.random.PRNGKey(seed), 2000)
+
+            def neg_surrogate(th):
+                outputs = _toy_outputs(th, keys, baseline_val=baseline_val)
+                # keep only elbo+reinforce: drop the baseline-MSE term by
+                # differentiating w.r.t. theta only (MSE is theta-free here)
+                loss, _ = surrogate_loss(outputs)
+                return -loss
+
+            return jax.grad(neg_surrogate)(theta)
+
+        seeds = range(20)
+        # baseline near E[L] ≈ exact objective value
+        b = float(_exact_objective(theta))
+        g_nob = np.stack([np.asarray(grad_per_chunk(None, s)) for s in seeds])
+        g_b = np.stack([np.asarray(grad_per_chunk(b, s)) for s in seeds])
+        np.testing.assert_allclose(g_b.mean(0), np.asarray(want),
+                                   atol=0.05, rtol=0.1)
+        np.testing.assert_allclose(g_nob.mean(0), np.asarray(want),
+                                   atol=0.05, rtol=0.1)
+        assert g_b.var(0).sum() < g_nob.var(0).sum()
+
+    def test_masked_logq_zero_after_stop(self):
+        """Steps after the chain stopped contribute nothing to log q."""
+        theta = jnp.array([10.0, -10.0])  # p1≈1, p2≈0 → always stops at 1
+        keys = jax.random.split(jax.random.PRNGKey(1), 4)
+        outputs = _toy_outputs(theta, keys)
+        from attend_infer_repeat_tpu.models.estimator import presence_log_prob
+        lq = presence_log_prob(outputs)
+        assert np.all(np.isfinite(np.asarray(lq)))
+        # step-2 mask is pres_1 (taken), but a hypothetical step 3 would be 0
+        outputs2 = _toy_outputs(jnp.array([-10.0, 0.0]), keys)  # never starts
+        lq2 = presence_log_prob(outputs2)
+        np.testing.assert_allclose(np.asarray(lq2[:, 1]), 0.0, atol=1e-6)
+
+
+class TestGradientSplit:
+    """The single-scalar loss must reproduce the reference's two-optimizer
+    split: baseline params get ONLY the MSE gradient; model params get NO
+    gradient from the MSE term."""
+
+    def setup_method(self):
+        self.cfg = get_config("single_digit").model
+        self.model = AIRModel(self.cfg)
+        self.x = jax.random.uniform(jax.random.PRNGKey(0), (2, 50, 50))
+        self.params = self.model.init(
+            jax.random.PRNGKey(1), self.x, jax.random.PRNGKey(2), 0.5)
+
+    def _grads(self, loss_fn):
+        return jax.grad(loss_fn)(self.params)["params"]
+
+    def test_baseline_gets_only_mse_gradient(self):
+        def full_loss(p):
+            out = self.model.apply(p, self.x, jax.random.PRNGKey(3), 0.5)
+            return surrogate_loss(out)[0]
+
+        def mse_only(p):
+            out = self.model.apply(p, self.x, jax.random.PRNGKey(3), 0.5)
+            sig = jax.lax.stop_gradient(out.elbo)[:, None]
+            return jnp.mean(jnp.sum((out.baseline - sig) ** 2, axis=-1))
+
+        g_full = self._grads(full_loss)["baseline"]
+        g_mse = self._grads(mse_only)["baseline"]
+        for a, b in zip(jax.tree.leaves(g_full), jax.tree.leaves(g_mse)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-7)
+
+    def test_model_params_free_of_mse_gradient(self):
+        def full_loss(p):
+            out = self.model.apply(p, self.x, jax.random.PRNGKey(3), 0.5)
+            return surrogate_loss(out)[0]
+
+        def no_mse(p):
+            out = self.model.apply(p, self.x, jax.random.PRNGKey(3), 0.5)
+            loss, _ = surrogate_loss(out)
+            sig = jax.lax.stop_gradient(out.elbo)[:, None]
+            mse = jnp.mean(jnp.sum((out.baseline - sig) ** 2, axis=-1))
+            return loss - mse
+
+        g_full = self._grads(full_loss)
+        g_nomse = self._grads(no_mse)
+        for name in ["encoder", "cell", "decoder"]:
+            for a, b in zip(jax.tree.leaves(g_full[name]),
+                            jax.tree.leaves(g_nomse[name])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-7)
+
+
+class TestLogProbConsistency:
+    def test_bernoulli_logq_matches_chain(self):
+        """log q of a sampled chain equals the sum of masked Bernoulli
+        log-probs computed by hand."""
+        theta = jnp.array([0.2, 0.7])
+        keys = jax.random.split(jax.random.PRNGKey(5), 16)
+        outputs = _toy_outputs(theta, keys)
+        from attend_infer_repeat_tpu.models.estimator import presence_log_prob
+        got = np.asarray(jnp.sum(presence_log_prob(outputs), -1))
+        s = outputs.steps
+        want = []
+        for i in range(16):
+            lp = float(bernoulli_log_prob(s.pres[i, 0], s.pres_prob[i, 0]))
+            if float(s.pres[i, 0]) == 1.0:
+                lp += float(bernoulli_log_prob(s.pres[i, 1],
+                                               s.pres_prob[i, 1]))
+            want.append(lp)
+        np.testing.assert_allclose(got, np.array(want), rtol=1e-5)

@@ -1,0 +1,123 @@
+"""AIRModel forward: shapes, determinism, masking semantics, generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from attend_infer_repeat_tpu.configs import ModelConfig, get_config
+from attend_infer_repeat_tpu.models import AIRModel, count_accuracy, iwae_bound
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = ModelConfig(max_steps=3, rnn_hidden=32, encoder_hidden=(32,),
+                      glimpse_encoder_hidden=(32,), decoder_hidden=(32,),
+                      transform_hidden=(32,), steps_hidden=(16,),
+                      baseline_hidden=(32,), n_what=8)
+    model = AIRModel(cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 50, 50))
+    params = model.init(jax.random.PRNGKey(1), x, jax.random.PRNGKey(2), 0.5)
+    return cfg, model, x, params
+
+
+class TestForward:
+    def test_shapes(self, setup):
+        cfg, model, x, params = setup
+        out = model.apply(params, x, jax.random.PRNGKey(3), 0.5)
+        B, T = 4, cfg.max_steps
+        assert out.elbo.shape == (B,)
+        assert out.canvas.shape == (B, 50, 50)
+        assert out.glimpses.shape == (B, T, 20, 20)
+        assert out.num_steps_pmf.shape == (B, T + 1)
+        assert out.steps.z_where.shape == (B, T, 4)
+        assert out.steps.z_what.shape == (B, T, cfg.n_what)
+        assert out.baseline.shape == (B, T)
+
+    def test_deterministic_given_key(self, setup):
+        cfg, model, x, params = setup
+        a = model.apply(params, x, jax.random.PRNGKey(7), 0.5)
+        b = model.apply(params, x, jax.random.PRNGKey(7), 0.5)
+        np.testing.assert_array_equal(np.asarray(a.elbo), np.asarray(b.elbo))
+        c = model.apply(params, x, jax.random.PRNGKey(8), 0.5)
+        assert not np.array_equal(np.asarray(a.elbo), np.asarray(c.elbo))
+
+    def test_presence_monotone(self, setup):
+        cfg, model, x, params = setup
+        for seed in range(5):
+            out = model.apply(params, x, jax.random.PRNGKey(seed), 0.5)
+            pres = np.asarray(out.steps.pres)
+            # once 0, stays 0
+            assert np.all(np.diff(pres, axis=1) <= 0 + 1e-6)
+            assert set(np.unique(pres)) <= {0.0, 1.0}
+
+    def test_absent_objects_contribute_nothing(self, setup):
+        """elbo decomposition: canvas only contains present glimpses."""
+        cfg, model, x, params = setup
+        out = model.apply(params, x, jax.random.PRNGKey(11), 0.5)
+        pres = np.asarray(out.steps.pres)
+        canvas = np.asarray(out.canvas)
+        # image with zero presences → all-zero canvas
+        empties = pres.sum(1) == 0
+        if empties.any():
+            np.testing.assert_allclose(canvas[empties], 0.0, atol=1e-6)
+
+    def test_pmf_normalized_and_consistent(self, setup):
+        cfg, model, x, params = setup
+        out = model.apply(params, x, jax.random.PRNGKey(12), 0.5)
+        pmf = np.asarray(out.num_steps_pmf)
+        np.testing.assert_allclose(pmf.sum(-1), 1.0, rtol=1e-5)
+        # sampled count is within support
+        assert np.all(np.asarray(out.predicted_steps) <= cfg.max_steps)
+
+    def test_count_accuracy_metric(self, setup):
+        cfg, model, x, params = setup
+        out = model.apply(params, x, jax.random.PRNGKey(13), 0.5)
+        acc = count_accuracy(out, out.predicted_steps)
+        assert float(acc) == 1.0
+        acc0 = count_accuracy(out, out.predicted_steps + 1)
+        assert float(acc0) == 0.0
+
+    def test_jit_compiles_single_program(self, setup):
+        cfg, model, x, params = setup
+        f = jax.jit(lambda p, xx, k: model.apply(p, xx, k, 0.5).elbo)
+        e1 = f(params, x, jax.random.PRNGKey(3))
+        assert e1.shape == (4,)
+        lowered = f.lower(params, x, jax.random.PRNGKey(3))
+        assert lowered.compile() is not None
+
+    def test_generate(self, setup):
+        cfg, model, x, params = setup
+        img = model.apply(params, jax.random.PRNGKey(4), 6, 0.5,
+                          method=AIRModel.generate)
+        assert img.shape == (6, 50, 50)
+        assert bool(jnp.all(jnp.isfinite(img)))
+
+
+class TestNoBaseline:
+    def test_ablation_drops_subtree(self):
+        cfg = ModelConfig(max_steps=2, rnn_hidden=16, encoder_hidden=(16,),
+                          glimpse_encoder_hidden=(16,), decoder_hidden=(16,),
+                          transform_hidden=(16,), steps_hidden=(8,), n_what=4)
+        model = AIRModel(cfg, use_baseline=False)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 50, 50))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        assert "baseline" not in params["params"]
+        out = model.apply(params, x, jax.random.PRNGKey(3), 0.5)
+        assert out.baseline is None
+        from attend_infer_repeat_tpu.models import surrogate_loss
+        loss, _ = surrogate_loss(out)
+        assert np.isfinite(float(loss))
+
+
+class TestIWAE:
+    def test_iwae_bound_tightens(self, setup):
+        """IWAE over k particles is ≥ the mean single-sample ELBO."""
+        cfg, model, x, params = setup
+        keys = jax.random.split(jax.random.PRNGKey(5), 5)
+        elbos = jnp.stack([model.apply(params, x, k, 0.5).elbo
+                           for k in keys])            # (k, B)
+        bound = iwae_bound(elbos)
+        assert bound.shape == (4,)
+        assert np.all(np.asarray(bound) >= np.asarray(elbos.mean(0)) - 1e-3)
