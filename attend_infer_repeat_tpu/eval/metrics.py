@@ -1,0 +1,70 @@
+"""Multi-batch evaluation and scalar logging.
+
+Reference: ``eval_tools.make_logger`` runs the eval tensors over a fixed
+number of batches for the train AND validation splits, averages, and
+writes TF summaries (SURVEY §4.5).  Here ``evaluate`` averages a jitted
+eval step over freshly synthesized (or provided) batches, and
+``MetricsLogger`` appends JSONL + optional TensorBoard scalars.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+
+def evaluate(eval_step: Callable, state, batches: Iterable,
+             key: jax.Array) -> Dict[str, float]:
+    """Average eval metrics over ``batches`` of ``(imgs, nums)``."""
+    sums: Dict[str, float] = {}
+    n = 0
+    for i, (imgs, nums) in enumerate(batches):
+        metrics, _ = eval_step(state, imgs, nums,
+                               jax.random.fold_in(key, i))
+        for k, v in metrics.items():
+            sums[k] = sums.get(k, 0.0) + float(v)
+        n += 1
+    return {k: v / max(n, 1) for k, v in sums.items()}
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics log + stdout lines (+ TensorBoard if
+    available).  The JSONL file is the parity dashboard: same scalar set
+    as the reference's TF summaries."""
+
+    def __init__(self, workdir: str, use_tensorboard: bool = True):
+        os.makedirs(workdir, exist_ok=True)
+        self._path = os.path.join(workdir, "metrics.jsonl")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(os.path.join(workdir, "tb"))
+            except Exception:
+                self._tb = None
+        self._t0 = time.time()
+
+    def log(self, step: int, metrics: Dict[str, float],
+            prefix: str = "train"):
+        row = {"step": int(step), "wall_s": time.time() - self._t0,
+               "split": prefix}
+        row.update({k: float(v) for k, v in metrics.items()})
+        with open(self._path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        if self._tb is not None:
+            for k, v in metrics.items():
+                self._tb.add_scalar(f"{prefix}/{k}", float(v), int(step))
+        keys = ("elbo", "log_likelihood", "kl_steps", "count_accuracy",
+                "expected_steps")
+        brief = " ".join(f"{k}={metrics[k]:.4g}" for k in keys
+                         if k in metrics)
+        print(f"[{prefix} {step}] {brief}", flush=True)
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()

@@ -1,0 +1,62 @@
+"""Serving layer: batched amortized inference and generation.
+
+BASELINE.json config 5 (batch-8192 amortized inference/generation sweep).
+The reference has no serving layer (SURVEY §2 — nothing above
+``experiment.py``); this is TPU-native capability: jit-compiled pure
+functions over replicated params, optionally sharded over a data mesh,
+sized so XLA keeps the MLP matmuls MXU-resident at large batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from attend_infer_repeat_tpu.configs import Config
+from attend_infer_repeat_tpu.models.air import AIRModel
+
+
+def make_infer_fn(config: Config, model: AIRModel, mesh=None) -> Callable:
+    """``(params, imgs, key) → dict`` — amortized posterior inference.
+
+    Returns the serving-relevant subset of ``AIROutputs``: reconstruction,
+    per-object pose/appearance posteriors, presence, and count prediction.
+    """
+    from attend_infer_repeat_tpu.parallel.sharding import constrain_batch
+
+    p_success = config.prior.final_success_prob
+
+    @jax.jit
+    def infer(params, imgs, key):
+        imgs = constrain_batch(imgs, mesh)
+        out = model.apply(params, imgs, key, p_success)
+        return {
+            "canvas": out.canvas,
+            "elbo": out.elbo,
+            "z_where": out.steps.z_where,
+            "where_loc": out.steps.where_loc,
+            "where_scale": out.steps.where_scale,
+            "what_loc": out.steps.what_loc,
+            "what_scale": out.steps.what_scale,
+            "presence": out.steps.pres,
+            "presence_prob": out.steps.pres_prob,
+            "num_steps_pmf": out.num_steps_pmf,
+            "predicted_steps": out.predicted_steps,
+        }
+
+    return infer
+
+
+def make_generate_fn(config: Config, model: AIRModel) -> Callable:
+    """``(params, key, batch) → imgs`` — sample scenes from the prior."""
+    p_success = config.prior.final_success_prob
+
+    @functools.partial(jax.jit, static_argnums=2)
+    def generate(params, key, batch: int):
+        return model.apply(params, key, batch, p_success,
+                           method=AIRModel.generate)
+
+    return generate

@@ -1,0 +1,54 @@
+"""CLI entry point: ``python -m attend_infer_repeat_tpu.train``.
+
+Replaces the reference's ``python experiment.py`` + ``tf.flags`` surface
+(SURVEY §3 #8, §6 config plan) with argparse over the named presets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from attend_infer_repeat_tpu.configs import PRESETS, get_config
+from attend_infer_repeat_tpu.train.loop import train
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        prog="python -m attend_infer_repeat_tpu.train",
+        description="Train Attend-Infer-Repeat (TPU-native JAX build).")
+    p.add_argument("--config", default="canonical", choices=sorted(PRESETS),
+                   help="benchmark preset (BASELINE.json configs)")
+    p.add_argument("--workdir", default=None,
+                   help="checkpoint/log dir (default runs/<config>)")
+    p.add_argument("--iters", type=int, default=None,
+                   help="override number of training iterations")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-tensorboard", action="store_true")
+    p.add_argument("--no-checkpoints", action="store_true")
+    args = p.parse_args(argv)
+
+    config = get_config(args.config)
+    overrides = {}
+    if args.batch_size is not None:
+        overrides["batch_size"] = args.batch_size
+    if args.lr is not None:
+        overrides["learning_rate"] = args.lr
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    if overrides:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train, **overrides))
+
+    workdir = args.workdir or f"runs/{args.config}"
+    train(config, workdir=workdir, n_iters=args.iters,
+          resume=not args.no_resume,
+          use_tensorboard=not args.no_tensorboard,
+          save_checkpoints=not args.no_checkpoints)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Checkpoint/resume on orbax (reference: ``tf.train.Saver`` periodic save
++ restore-or-init at startup — ``experiment.py``/``experiment_tools.py``,
+SURVEY §6).
+
+The checkpoint unit is the whole ``TrainState`` — params, both optimizer
+groups' state, the step counter, and the RNG base key — so a restore
+resumes bitwise-identically (the anneal schedule position is implied by
+``step``, exactly like the reference's ``global_step``; SURVEY §8 hard
+part 4).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from attend_infer_repeat_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Thin wrapper over ``orbax.CheckpointManager`` for ``TrainState``."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3,
+                 save_interval_steps: int = 1):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+            ),
+        )
+
+    def save(self, state: TrainState, force: bool = False) -> bool:
+        step = int(state.step)
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(state), force=force)
+        return bool(saved)
+
+    def restore(self, template: TrainState) -> Optional[TrainState]:
+        """Restore the latest checkpoint, or None if none exists.
+
+        ``template`` supplies the pytree structure/shapes (a freshly
+        created state).
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        # Orbax restores raw arrays; key arrays need explicit handling.
+        key_data = jax.random.key_data(template.base_key)
+        abstract = jax.tree.map(np.asarray, jax.device_get(
+            template.replace(base_key=key_data)))
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract))
+        base_key = jax.random.wrap_key_data(restored.base_key)
+        restored = restored.replace(base_key=base_key)
+        return jax.tree.map(jax.numpy.asarray, restored)
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()
+
+
+def restore_latest(directory: str, template: TrainState
+                   ) -> Optional[TrainState]:
+    """Restore-or-None convenience (reference restore-or-init behavior)."""
+    if not os.path.isdir(directory):
+        return None
+    mgr = CheckpointManager(directory)
+    try:
+        return mgr.restore(template)
+    finally:
+        mgr.close()

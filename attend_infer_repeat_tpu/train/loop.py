@@ -1,0 +1,104 @@
+"""The training loop: hot jitted step + periodic log/fig/save/eval.
+
+Reference equivalent: ``experiment.py``'s module-level loop
+(``for itr in range(n_iters): sess.run(train_step)`` with log/fig/save
+intervals — SURVEY §4.1).  The hot path never leaves the device; host
+work happens only at the logging intervals.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from attend_infer_repeat_tpu.configs import Config, get_config
+from attend_infer_repeat_tpu.data.digits import load_digit_bank
+from attend_infer_repeat_tpu.data.synth import make_synth_fn
+from attend_infer_repeat_tpu.eval.figures import make_fig
+from attend_infer_repeat_tpu.eval.metrics import MetricsLogger, evaluate
+from attend_infer_repeat_tpu.models.air import AIRModel
+from attend_infer_repeat_tpu.train.checkpoint import CheckpointManager
+from attend_infer_repeat_tpu.train.state import (
+    create_train_state,
+    param_count,
+)
+from attend_infer_repeat_tpu.train.step import make_eval_step, make_train_step
+
+
+def train(config: Config | str, workdir: str = "runs/default",
+          n_iters: Optional[int] = None, resume: bool = True,
+          use_tensorboard: bool = True, save_checkpoints: bool = True):
+    """Train AIR per ``config``; returns the final ``TrainState``.
+
+    Restore-or-init semantics match the reference: if ``workdir`` holds a
+    checkpoint and ``resume``, continue from it (anneal position included,
+    via the restored step).
+    """
+    if isinstance(config, str):
+        config = get_config(config)
+    tcfg = config.train
+    n_iters = tcfg.n_iters if n_iters is None else n_iters
+
+    # --- data: device-resident digit banks, on-device synthesis ----------
+    train_bank, _ = load_digit_bank(
+        config.data.source, config.data.digit_size, split="train")
+    eval_bank, _ = load_digit_bank(
+        config.data.source, config.data.digit_size, split="eval")
+    eval_synth = make_synth_fn(config.data, eval_bank)
+
+    # --- model + state ----------------------------------------------------
+    model = AIRModel(config.model, use_baseline=tcfg.use_baseline)
+    sample_key = jax.random.key(tcfg.seed)
+    sample_imgs, _ = make_synth_fn(config.data, train_bank)(
+        sample_key, tcfg.batch_size)
+    state = create_train_state(config, model, sample_imgs)
+    print("param counts:", param_count(state.params), flush=True)
+
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt")) \
+        if save_checkpoints else None
+    if ckpt is not None and resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            print(f"resumed from step {int(state.step)}", flush=True)
+
+    train_step = make_train_step(config, model, digit_bank=train_bank)
+    eval_step = make_eval_step(config, model)
+    logger = MetricsLogger(workdir, use_tensorboard=use_tensorboard)
+    eval_key = jax.random.key(tcfg.seed + 1)
+
+    def eval_batches():
+        for i in range(tcfg.eval_batches):
+            yield eval_synth(jax.random.fold_in(eval_key, i),
+                             tcfg.batch_size)
+
+    start = int(state.step)
+    for it in range(start, n_iters):
+        state, metrics = train_step(state)
+
+        step_no = it + 1
+        if step_no % tcfg.log_every == 0 or step_no == n_iters:
+            logger.log(step_no, jax.device_get(metrics), prefix="train")
+            ev = evaluate(eval_step, state, eval_batches(),
+                          jax.random.fold_in(eval_key, step_no))
+            logger.log(step_no, ev, prefix="eval")
+        if step_no % tcfg.fig_every == 0 or step_no == n_iters:
+            imgs, nums = eval_synth(
+                jax.random.fold_in(eval_key, -step_no), tcfg.batch_size)
+            _, outputs = eval_step(state, imgs, nums,
+                                   jax.random.fold_in(eval_key, step_no))
+            make_fig(np.asarray(imgs), outputs,
+                     os.path.join(workdir, f"fig_{step_no:07d}.png"),
+                     true_nums=np.asarray(nums))
+        if ckpt is not None and (step_no % tcfg.save_every == 0
+                                 or step_no == n_iters):
+            ckpt.save(state, force=(step_no == n_iters))
+
+    if ckpt is not None:
+        ckpt.wait()
+        ckpt.close()
+    logger.close()
+    return state

@@ -1,0 +1,114 @@
+"""The jit-compiled train/eval steps (single XLA program each).
+
+Reference equivalent: everything inside one ``sess.run(train_step)`` —
+minibatch production, ``AIRModel`` graph, NVIL/REINFORCE target, RMSProp
+updates (SURVEY §4.1/§4.3).  Here the batch is *synthesized on device
+inside the step* (no host↔device image transfer), gradients come from one
+``jax.grad`` over the stop-gradient surrogate, and the two-optimizer split
+is the label-partitioned transform from ``state.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from attend_infer_repeat_tpu.configs import Config
+from attend_infer_repeat_tpu.data.synth import synthesize_batch
+from attend_infer_repeat_tpu.models.estimator import (
+    count_accuracy,
+    surrogate_loss,
+)
+from attend_infer_repeat_tpu.train.state import (
+    TrainState,
+    make_optimizer,
+    prior_success_prob,
+)
+
+
+def _l2_norm_sq(params) -> jax.Array:
+    leaves = jax.tree.leaves(params["params"])
+    return sum(jnp.sum(x * x) for x in leaves)
+
+
+def make_train_step(config: Config, model, digit_bank=None,
+                    donate: bool = True, mesh=None) -> Callable:
+    """Build the jitted ``step(state, batch=None) → (state, metrics)``.
+
+    With a ``digit_bank`` the batch is synthesized inside the step from
+    the per-step key (fully on-device path).  Without one, callers pass
+    ``batch=(imgs, nums)`` (reference-pickle path).
+
+    With a ``mesh`` (1-D ``data`` axis), the synthesized batch is pinned
+    to the data axis and params stay replicated — GSPMD then shards the
+    whole model/grad computation and inserts the gradient all-reduce over
+    ICI (data parallelism; SURVEY §3.1 plan).
+    """
+    from attend_infer_repeat_tpu.parallel.sharding import constrain_batch
+
+    tcfg = config.train
+    bank = None if digit_bank is None else jnp.asarray(digit_bank)
+
+    def step_fn(state: TrainState, batch=None):
+        tx = make_optimizer(tcfg, state.params)
+        key = jax.random.fold_in(state.base_key, state.step)
+        k_data, k_model = jax.random.split(key)
+        p_success = prior_success_prob(config.prior, state.step)
+
+        if batch is None:
+            imgs, nums = synthesize_batch(
+                k_data, bank, config.data, tcfg.batch_size)
+        else:
+            imgs, nums = batch
+        imgs = constrain_batch(imgs, mesh)
+        nums = constrain_batch(nums, mesh)
+
+        def loss_fn(params):
+            outputs = model.apply(params, imgs, k_model, p_success)
+            loss, metrics = surrogate_loss(
+                outputs,
+                l2_params_norm=_l2_norm_sq(params),
+                l2_weight=tcfg.l2_weight)
+            return loss, (metrics, outputs)
+
+        grads, (metrics, outputs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(
+            grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = dict(metrics)
+        metrics["count_accuracy"] = count_accuracy(outputs, nums)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["prior_success_prob"] = p_success
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_args)
+
+
+def make_eval_step(config: Config, model) -> Callable:
+    """Jitted evaluation on a fixed batch: metrics + count accuracy.
+
+    Mirrors the reference's periodic eval tensors (``eval_tools.
+    make_logger`` — SURVEY §4.5).  No parameter updates; the step index
+    only selects the annealed prior so eval matches the training-time
+    objective.
+    """
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_fn(state: TrainState, imgs, nums, eval_key):
+        p_success = prior_success_prob(config.prior, state.step)
+        outputs = model.apply(state.params, imgs, eval_key, p_success)
+        _, metrics = surrogate_loss(outputs)
+        metrics = dict(metrics)
+        metrics["count_accuracy"] = count_accuracy(outputs, nums)
+        return metrics, outputs
+
+    return eval_fn

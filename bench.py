@@ -1,0 +1,98 @@
+"""Headline benchmark: canonical-config train-step throughput (images/sec).
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}``.
+
+``vs_baseline`` divides by the TF1-CPU stand-in baseline — a CPU-jit run
+of the same train step (the reference is TF1 on CPU; SURVEY §7 requires
+us to measure the denominator ourselves).  The CPU number is cached in
+``benchmarks/baseline_cpu.json`` (regenerate with
+``python bench.py --measure-cpu-baseline``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+_BASELINE_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "benchmarks", "baseline_cpu.json")
+
+
+def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
+                           batch_size: int | None = None) -> float:
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    import dataclasses
+    import jax.numpy as jnp
+
+    config = get_config("canonical")
+    if batch_size is not None:
+        config = dataclasses.replace(
+            config, train=dataclasses.replace(config.train,
+                                              batch_size=batch_size))
+    bank, _ = load_digit_bank(config.data.source, config.data.digit_size)
+    model = AIRModel(config.model)
+    imgs = jnp.zeros((config.train.batch_size,) + config.model.img_size)
+    state = create_train_state(config, model, imgs)
+    step = make_train_step(config, model, digit_bank=bank)
+
+    for _ in range(n_warmup):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        state, metrics = step(state)
+    jax.block_until_ready(metrics)
+    dt = time.perf_counter() - t0
+    return n_timed * config.train.batch_size / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--measure-cpu-baseline", action="store_true",
+                   help="measure the CPU stand-in baseline and cache it")
+    p.add_argument("--batch-size", type=int, default=None)
+    args = p.parse_args()
+
+    if args.measure_cpu_baseline:
+        jax.config.update("jax_platforms", "cpu")
+        val = measure_images_per_sec(n_warmup=2, n_timed=10,
+                                     batch_size=args.batch_size)
+        os.makedirs(os.path.dirname(_BASELINE_PATH), exist_ok=True)
+        with open(_BASELINE_PATH, "w") as f:
+            json.dump({"cpu_images_per_sec": val,
+                       "note": "CPU-jit stand-in for TF1-CPU reference "
+                               "(reference unrunnable; SURVEY §7)"}, f)
+        print(json.dumps({"metric": "cpu_baseline_images_per_sec",
+                          "value": val, "unit": "images/sec",
+                          "vs_baseline": 1.0}))
+        return
+
+    value = measure_images_per_sec(batch_size=args.batch_size)
+    baseline = None
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            baseline = json.load(f).get("cpu_images_per_sec")
+    vs = value / baseline if baseline else None
+    print(json.dumps({
+        "metric": "canonical train-step throughput (multi-MNIST images/sec/chip)",
+        "value": round(value, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,149 @@
+"""Benchmark harness: train throughput, serving sweep, kernel microbench.
+
+Usage (runs on whatever ``jax.devices()`` provides — the TPU chip here):
+
+    python -m benchmarks.harness train            # canonical train step
+    python -m benchmarks.harness serving          # batch sweep → 8192
+    python -m benchmarks.harness st               # gather kernel micro
+    python -m benchmarks.harness all
+
+Results append to ``benchmarks/results.jsonl`` with device/config info, so
+BASELINE.md's measured rows can cite exact numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+_RESULTS = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "results.jsonl")
+
+
+def _record(row: dict):
+    row = dict(row)
+    row["device"] = str(jax.devices()[0])
+    row["platform"] = jax.devices()[0].platform
+    row["ts"] = time.time()
+    with open(_RESULTS, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def _time_fn(fn, *args, n_warmup=3, n_timed=20):
+    for _ in range(n_warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n_timed
+
+
+def bench_train(batch_sizes=(64, 256, 1024)):
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    base = get_config("canonical")
+    bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
+    for bs in batch_sizes:
+        config = dataclasses.replace(
+            base, train=dataclasses.replace(base.train, batch_size=bs))
+        model = AIRModel(config.model)
+        imgs = jnp.zeros((bs,) + config.model.img_size)
+        state = create_train_state(config, model, imgs)
+        step = make_train_step(config, model, digit_bank=bank)
+
+        state_box = [state]
+
+        def run():
+            s, m = step(state_box[0])
+            state_box[0] = s
+            return m
+
+        dt = _time_fn(run)
+        _record({"bench": "train_step", "config": "canonical",
+                 "batch_size": bs, "step_ms": dt * 1e3,
+                 "images_per_sec": bs / dt})
+
+
+def bench_serving(batch_sizes=(256, 1024, 4096, 8192)):
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.serving import (
+        make_generate_fn,
+        make_infer_fn,
+    )
+    from attend_infer_repeat_tpu.train import create_train_state
+
+    config = get_config("serving")
+    bank, _ = load_digit_bank(config.data.source, config.data.digit_size)
+    synth = make_synth_fn(config.data, bank)
+    model = AIRModel(config.model, use_baseline=False)
+    init_imgs = jnp.zeros((8,) + config.model.img_size)
+    state = create_train_state(
+        dataclasses.replace(config, train=dataclasses.replace(
+            config.train, use_baseline=False)), model, init_imgs)
+    infer = make_infer_fn(config, model)
+    generate = make_generate_fn(config, model)
+    key = jax.random.key(0)
+
+    for bs in batch_sizes:
+        imgs, _ = synth(key, bs)
+        dt = _time_fn(lambda: infer(state.params, imgs, key))
+        _record({"bench": "serving_infer", "batch_size": bs,
+                 "batch_ms": dt * 1e3, "images_per_sec": bs / dt})
+        dt = _time_fn(lambda: generate(state.params, key, bs))
+        _record({"bench": "serving_generate", "batch_size": bs,
+                 "batch_ms": dt * 1e3, "images_per_sec": bs / dt})
+
+
+def bench_st(batch_sizes=(64, 1024, 8192)):
+    """Gather kernel: XLA separable-matmul path vs fused Pallas kernel."""
+    from attend_infer_repeat_tpu.ops.pallas_st import st_gather_pallas
+    from attend_infer_repeat_tpu.ops.spatial_transformer import st_gather
+
+    key = jax.random.key(0)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    for bs in batch_sizes:
+        img = jax.random.uniform(key, (bs, 50, 50))
+        zw = jnp.tile(jnp.array([0.56, 0.56, 0.1, -0.2]), (bs, 1))
+        f_xla = jax.jit(lambda i, z: st_gather(i, z, (20, 20)))
+        dt = _time_fn(f_xla, img, zw)
+        _record({"bench": "st_gather_xla", "batch_size": bs,
+                 "batch_us": dt * 1e6, "gimages_per_sec": bs / dt / 1e9})
+        if on_tpu:
+            f_pal = jax.jit(
+                lambda i, z: st_gather_pallas(i, z, (20, 20), 8, False))
+            dt = _time_fn(f_pal, img, zw)
+            _record({"bench": "st_gather_pallas", "batch_size": bs,
+                     "batch_us": dt * 1e6, "gimages_per_sec": bs / dt / 1e9})
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("what", choices=["train", "serving", "st", "all"])
+    args = p.parse_args()
+    if args.what in ("train", "all"):
+        bench_train()
+    if args.what in ("serving", "all"):
+        bench_serving()
+    if args.what in ("st", "all"):
+        bench_st()
+
+
+if __name__ == "__main__":
+    main()

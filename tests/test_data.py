@@ -1,0 +1,116 @@
+"""Tests for the data layer: digit bank, on-device synthesis, loaders."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from attend_infer_repeat_tpu.configs import DataConfig
+from attend_infer_repeat_tpu.data import (
+    InMemoryDataset,
+    load_data,
+    load_digit_bank,
+    make_synth_fn,
+    synthesize_batch,
+    tensors_from_data,
+)
+
+
+@pytest.fixture(scope="module")
+def bank():
+    imgs, labels = load_digit_bank("auto", digit_size=(28, 28))
+    return imgs, labels
+
+
+def test_digit_bank_shapes_and_range(bank):
+    imgs, labels = bank
+    assert imgs.ndim == 3 and imgs.shape[1:] == (28, 28)
+    assert imgs.dtype == np.float32
+    assert 0.0 <= imgs.min() and imgs.max() <= 1.0
+    assert imgs.max() > 0.5  # not all-black
+    assert labels.shape == (imgs.shape[0],)
+
+
+def test_digit_bank_splits_disjoint_sizes(bank):
+    train, _ = bank
+    ev, _ = load_digit_bank("auto", digit_size=(28, 28), split="eval")
+    assert len(ev) > 0 and len(train) > len(ev)
+
+
+def test_synthesize_batch_shapes_counts(bank):
+    imgs_bank, _ = bank
+    cfg = DataConfig(min_digits=0, max_digits=2)
+    key = jax.random.key(0)
+    imgs, nums = synthesize_batch(key, jnp.asarray(imgs_bank), cfg, 16)
+    assert imgs.shape == (16, 50, 50)
+    assert nums.shape == (16,)
+    assert np.all(np.asarray(nums) >= 0) and np.all(np.asarray(nums) <= 2)
+    assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+    # empty canvases are all-zero; non-empty have ink
+    arr, n = np.asarray(imgs), np.asarray(nums)
+    assert np.all(arr[n == 0].sum(axis=(1, 2)) == 0.0)
+    if (n > 0).any():
+        assert (arr[n > 0].sum(axis=(1, 2)) > 1.0).all()
+
+
+def test_synthesize_ink_scales_with_count(bank):
+    """More digits → more ink, on average (digits actually get pasted)."""
+    imgs_bank, _ = bank
+    cfg = DataConfig(min_digits=0, max_digits=2)
+    imgs, nums = synthesize_batch(
+        jax.random.key(1), jnp.asarray(imgs_bank), cfg, 256)
+    arr, n = np.asarray(imgs), np.asarray(nums)
+    means = [arr[n == k].sum(axis=(1, 2)).mean() for k in (0, 1, 2)]
+    assert means[0] < means[1] < means[2]
+
+
+def test_synthesize_deterministic(bank):
+    imgs_bank, _ = bank
+    cfg = DataConfig()
+    a = synthesize_batch(jax.random.key(7), jnp.asarray(imgs_bank), cfg, 4)
+    b = synthesize_batch(jax.random.key(7), jnp.asarray(imgs_bank), cfg, 4)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+
+
+def test_synthesize_crowded_config(bank):
+    imgs_bank, _ = bank
+    cfg = DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5)
+    imgs, nums = synthesize_batch(
+        jax.random.key(2), jnp.asarray(imgs_bank), cfg, 8)
+    assert imgs.shape == (8, 100, 100)
+    assert int(np.asarray(nums).max()) <= 5
+
+
+def test_make_synth_fn_jits(bank):
+    imgs_bank, _ = bank
+    synth = make_synth_fn(DataConfig(), imgs_bank)
+    imgs, nums = synth(jax.random.key(0), 8)
+    assert imgs.shape == (8, 50, 50)
+
+
+def test_pickle_roundtrip(tmp_path, bank):
+    """Reference pickle format loads through load_data/tensors_from_data."""
+    import pickle
+
+    imgs_bank, _ = bank
+    synth = make_synth_fn(DataConfig(), imgs_bank)
+    imgs, nums = synth(jax.random.key(3), 32)
+    path = tmp_path / "mnist_train.pickle"
+    with open(path, "wb") as f:
+        pickle.dump({"imgs": np.asarray(imgs), "nums": np.asarray(nums)}, f)
+
+    data = load_data(str(path))
+    assert data["imgs"].shape == (32, 50, 50)
+    it = tensors_from_data(data, batch_size=8, seed=0)
+    bx, bn = next(it)
+    assert bx.shape == (8, 50, 50) and bn.shape == (8,)
+
+
+def test_inmemory_batches_cover_epoch():
+    imgs = np.random.rand(20, 5, 5).astype(np.float32)
+    nums = np.arange(20, dtype=np.int32)
+    ds = InMemoryDataset(imgs, nums)
+    it = ds.batches(batch_size=5, seed=0)
+    seen = np.concatenate([next(it)[1] for _ in range(4)])
+    assert sorted(seen.tolist()) == list(range(20))

@@ -1,0 +1,98 @@
+"""Tests for evaluation: metrics logger, figures, IWAE bound, serving."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
+from attend_infer_repeat_tpu.eval import (
+    MetricsLogger,
+    evaluate,
+    make_fig,
+    make_iwae_eval_step,
+)
+from attend_infer_repeat_tpu.models.air import AIRModel
+from attend_infer_repeat_tpu.serving import make_generate_fn, make_infer_fn
+from attend_infer_repeat_tpu.train import (
+    create_train_state,
+    make_eval_step,
+)
+from tests.test_train import tiny_config
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model)
+    synth = make_synth_fn(cfg.data, bank)
+    imgs, nums = synth(jax.random.key(0), cfg.train.batch_size)
+    state = create_train_state(cfg, model, imgs)
+    return cfg, model, state, synth
+
+
+def test_evaluate_averages(setup):
+    cfg, model, state, synth = setup
+    eval_step = make_eval_step(cfg, model)
+
+    def batches():
+        for i in range(3):
+            yield synth(jax.random.fold_in(jax.random.key(1), i),
+                        cfg.train.batch_size)
+
+    metrics = evaluate(eval_step, state, batches(), jax.random.key(2))
+    assert np.isfinite(metrics["elbo"])
+    assert 0.0 <= metrics["count_accuracy"] <= 1.0
+
+
+def test_metrics_logger_jsonl(tmp_path, setup):
+    logger = MetricsLogger(str(tmp_path), use_tensorboard=False)
+    logger.log(10, {"elbo": -100.0, "count_accuracy": 0.5})
+    logger.log(20, {"elbo": -90.0}, prefix="eval")
+    logger.close()
+    rows = [json.loads(l) for l in
+            open(tmp_path / "metrics.jsonl").read().splitlines()]
+    assert rows[0]["step"] == 10 and rows[0]["split"] == "train"
+    assert rows[1]["split"] == "eval" and rows[1]["elbo"] == -90.0
+
+
+def test_make_fig_saves_png(tmp_path, setup):
+    cfg, model, state, synth = setup
+    imgs, nums = synth(jax.random.key(3), 4)
+    eval_step = make_eval_step(cfg, model)
+    _, outputs = eval_step(state, imgs, nums, jax.random.key(4))
+    path = make_fig(np.asarray(imgs), outputs,
+                    str(tmp_path / "fig.png"), n_samples=4,
+                    true_nums=np.asarray(nums))
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_iwae_bound_ge_elbo(setup):
+    """logsumexp bound dominates the single-sample ELBO in expectation."""
+    cfg, model, state, synth = setup
+    imgs, _ = synth(jax.random.key(5), cfg.train.batch_size)
+    iwae_step = make_iwae_eval_step(cfg, model, n_particles=5)
+    m = iwae_step(state, imgs, jax.random.key(6))
+    assert np.isfinite(float(m["iwae_bound"]))
+    assert float(m["iwae_gap"]) >= -1e-4
+
+
+def test_serving_infer_and_generate(setup):
+    cfg, model, state, synth = setup
+    infer = make_infer_fn(cfg, model)
+    imgs, _ = synth(jax.random.key(7), 8)
+    out = infer(state.params, imgs, jax.random.key(8))
+    assert out["canvas"].shape == imgs.shape
+    assert out["z_where"].shape == (8, cfg.model.max_steps, 4)
+    assert out["num_steps_pmf"].shape == (8, cfg.model.max_steps + 1)
+    np.testing.assert_allclose(
+        np.asarray(out["num_steps_pmf"]).sum(-1), 1.0, rtol=1e-4)
+
+    gen = make_generate_fn(cfg, model)
+    samples = gen(state.params, jax.random.key(9), 8)
+    assert samples.shape == (8,) + cfg.model.img_size
+    assert bool(jnp.isfinite(samples).all())

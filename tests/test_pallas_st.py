@@ -1,0 +1,94 @@
+"""Pallas fused spatial-transformer kernel: parity vs the XLA path.
+
+Runs in interpreter mode on CPU (SURVEY §5 — the standard way to test
+Pallas logic hostside); the same kernel compiles for TPU and is
+parity-gated there by the verify/bench harness.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from attend_infer_repeat_tpu.ops.pallas_st import (
+    st_gather_pallas,
+    st_paste_pallas,
+)
+from attend_infer_repeat_tpu.ops.spatial_transformer import (
+    st_gather,
+    st_paste,
+)
+
+
+def random_wheres(key, batch):
+    k1, k2 = jax.random.split(key)
+    scales = jax.random.uniform(k1, (batch, 2), minval=0.2, maxval=1.2)
+    shifts = jax.random.uniform(k2, (batch, 2), minval=-0.8, maxval=0.8)
+    return jnp.concatenate(
+        [scales, shifts], axis=-1)[:, jnp.array([0, 1, 2, 3])]
+
+
+@pytest.mark.parametrize("batch", [1, 5, 8, 17])
+def test_gather_parity(batch):
+    key = jax.random.key(batch)
+    img = jax.random.uniform(key, (batch, 50, 50))
+    zw = random_wheres(jax.random.fold_in(key, 1), batch)
+    ref = st_gather(img, zw, (20, 20))
+    pal = st_gather_pallas(img, zw, (20, 20), 8, True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_parity_multidim_batch():
+    key = jax.random.key(0)
+    img = jax.random.uniform(key, (3, 4, 30, 30))
+    zw = random_wheres(jax.random.fold_in(key, 1), 12).reshape(3, 4, 4)
+    ref = st_gather(img, zw, (12, 12))
+    pal = st_gather_pallas(img, zw, (12, 12), 8, True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paste_parity():
+    key = jax.random.key(3)
+    g = jax.random.uniform(key, (6, 20, 20))
+    zw = random_wheres(jax.random.fold_in(key, 1), 6)
+    ref = st_paste(g, zw, (50, 50))
+    pal = st_paste_pallas(g, zw, (50, 50), 8, True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_out_of_bounds_zero():
+    img = jnp.ones((2, 20, 20))
+    zw = jnp.array([[0.5, 0.5, 5.0, 5.0], [0.5, 0.5, -5.0, -5.0]])
+    pal = st_gather_pallas(img, zw, (8, 8), 8, True)
+    np.testing.assert_allclose(np.asarray(pal), 0.0, atol=1e-7)
+
+
+def test_gather_grads_match_xla_path():
+    key = jax.random.key(7)
+    img = jax.random.uniform(key, (4, 25, 25))
+    zw = random_wheres(jax.random.fold_in(key, 1), 4)
+
+    def loss_pal(img, zw):
+        return jnp.sum(st_gather_pallas(img, zw, (10, 10), 8, True) ** 2)
+
+    def loss_ref(img, zw):
+        return jnp.sum(st_gather(img, zw, (10, 10)) ** 2)
+
+    gp_img, gp_zw = jax.grad(loss_pal, argnums=(0, 1))(img, zw)
+    gr_img, gr_zw = jax.grad(loss_ref, argnums=(0, 1))(img, zw)
+    np.testing.assert_allclose(np.asarray(gp_img), np.asarray(gr_img),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gp_zw), np.asarray(gr_zw),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gather_jits():
+    img = jnp.ones((8, 50, 50))
+    zw = jnp.tile(jnp.array([0.5, 0.5, 0.0, 0.0]), (8, 1))
+    f = jax.jit(lambda i, z: st_gather_pallas(i, z, (20, 20), 8, True))
+    out = f(img, zw)
+    assert out.shape == (8, 20, 20)
+    assert bool(jnp.isfinite(out).all())
