@@ -86,8 +86,9 @@ def train(config: Config | str, workdir: str = "runs/default",
                           jax.random.fold_in(eval_key, step_no))
             logger.log(step_no, ev, prefix="eval")
         if step_no % tcfg.fig_every == 0 or step_no == n_iters:
+            fig_key = jax.random.fold_in(eval_key, 0xF16)
             imgs, nums = eval_synth(
-                jax.random.fold_in(eval_key, -step_no), tcfg.batch_size)
+                jax.random.fold_in(fig_key, step_no), tcfg.batch_size)
             _, outputs = eval_step(state, imgs, nums,
                                    jax.random.fold_in(eval_key, step_no))
             make_fig(np.asarray(imgs), outputs,

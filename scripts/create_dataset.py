@@ -16,6 +16,9 @@ from __future__ import annotations
 import argparse
 import os
 import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -1,0 +1,40 @@
+"""Integration test for the full training loop (tiny config, CPU)."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from attend_infer_repeat_tpu.train.loop import train
+from tests.test_train import tiny_config
+import dataclasses
+
+
+@pytest.mark.slow
+def test_train_loop_end_to_end(tmp_path):
+    cfg = tiny_config(n_iters=30, log_every=10, fig_every=30,
+                      save_every=15, eval_batches=2)
+    workdir = str(tmp_path / "run")
+
+    state = train(cfg, workdir=workdir, use_tensorboard=False)
+    assert int(state.step) == 30
+
+    # metrics logged for train and eval splits
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "eval"}
+
+    # figure written
+    assert glob.glob(os.path.join(workdir, "fig_*.png"))
+
+    # checkpoints written; resume continues instead of restarting
+    state2 = train(cfg, workdir=workdir, n_iters=40,
+                   use_tensorboard=False)
+    assert int(state2.step) == 40
+    rows2 = [json.loads(l) for l in
+             open(os.path.join(workdir, "metrics.jsonl"))]
+    # resumed run logged steps beyond 30 without re-logging early steps
+    later = [r for r in rows2 if r["step"] > 30]
+    assert later
