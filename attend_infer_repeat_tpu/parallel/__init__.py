@@ -19,5 +19,9 @@ from attend_infer_repeat_tpu.parallel.sharding import (
     replicate,
     shard_batch,
 )
+from attend_infer_repeat_tpu.parallel.shard_map_step import (
+    make_shardmap_train_step,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch",
+           "make_shardmap_train_step"]

@@ -1,0 +1,88 @@
+"""Explicit-collective data-parallel train step via ``shard_map``.
+
+The GSPMD path (``train.step.make_train_step(mesh=...)``) lets XLA infer
+the gradient all-reduce.  This variant spells the SPMD program out — the
+scaling-book's explicit recipe: each device synthesizes ITS OWN shard of
+the global batch (keyed by ``axis_index``, so no host sharding and no
+duplicate work), computes local gradients, and reduces them with
+``jax.lax.pmean`` over the ``data`` axis (an ICI all-reduce).  Parameters
+and optimizer state stay replicated; every device applies the identical
+averaged update.
+
+Useful both as an executable spec of the communication pattern and as the
+variant that composes with future non-GSPMD tricks (e.g. Pallas ring
+collectives from the kernel guide).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from attend_infer_repeat_tpu.configs import Config
+from attend_infer_repeat_tpu.data.synth import synthesize_batch
+from attend_infer_repeat_tpu.models.estimator import (
+    count_accuracy,
+    surrogate_loss,
+)
+from attend_infer_repeat_tpu.parallel.sharding import DATA_AXIS
+from attend_infer_repeat_tpu.train.state import (
+    TrainState,
+    make_optimizer,
+    prior_success_prob,
+)
+
+
+def make_shardmap_train_step(config: Config, model, digit_bank,
+                             mesh: Mesh) -> Callable:
+    """Jitted ``step(state) → (state, metrics)``; state replicated."""
+    tcfg = config.train
+    bank = jnp.asarray(digit_bank)
+    n_dev = mesh.devices.size
+    if tcfg.batch_size % n_dev:
+        raise ValueError(
+            f"batch_size {tcfg.batch_size} not divisible by mesh size "
+            f"{n_dev}")
+    local_bs = tcfg.batch_size // n_dev
+
+    def spmd_body(state: TrainState):
+        tx = make_optimizer(tcfg, state.params)
+        # per-device RNG: fold in step, then this device's mesh index
+        dev = jax.lax.axis_index(DATA_AXIS)
+        key = jax.random.fold_in(
+            jax.random.fold_in(state.base_key, state.step), dev)
+        k_data, k_model = jax.random.split(key)
+        p_success = prior_success_prob(config.prior, state.step)
+
+        imgs, nums = synthesize_batch(k_data, bank, config.data, local_bs)
+
+        def loss_fn(params):
+            outputs = model.apply(params, imgs, k_model, p_success)
+            loss, metrics = surrogate_loss(outputs)
+            return loss, (metrics, outputs)
+
+        grads, (metrics, outputs) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        # the ICI all-reduce: average gradients over the data axis
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        acc = jax.lax.pmean(count_accuracy(outputs, nums), DATA_AXIS)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["count_accuracy"] = acc
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state)
+        return new_state, metrics
+
+    repl = P()  # replicated in and out; batch lives only inside the body
+    mapped = shard_map(spmd_body, mesh=mesh, in_specs=(repl,),
+                       out_specs=(repl, repl), check_rep=False)
+    return jax.jit(mapped)

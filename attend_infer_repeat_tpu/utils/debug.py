@@ -24,7 +24,7 @@ def debug_mode(nans: bool = True, disable_jit: bool = False):
     overrides = {"jax_debug_nans": nans}
     if disable_jit:
         overrides["jax_disable_jit"] = True
-    prev = {k: jax.config.read(k) for k in overrides}
+    prev = {k: getattr(jax.config, k) for k in overrides}
     try:
         for k, v in overrides.items():
             jax.config.update(k, v)

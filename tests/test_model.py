@@ -121,3 +121,30 @@ class TestIWAE:
         bound = iwae_bound(elbos)
         assert bound.shape == (4,)
         assert np.all(np.asarray(bound) >= np.asarray(elbos.mean(0)) - 1e-3)
+
+
+class TestCrowdedConfig:
+    """BASELINE config 3: 100x100 canvas, 5 steps (stress masked scan)."""
+
+    def test_forward_100x100(self):
+        import jax
+        import jax.numpy as jnp
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models.air import AIRModel
+
+        cfg = ModelConfig(
+            img_size=(100, 100), glimpse_size=(20, 20), n_what=8,
+            max_steps=5, rnn_hidden=32, encoder_hidden=(32,),
+            glimpse_encoder_hidden=(32,), decoder_hidden=(32,),
+            transform_hidden=(32,), steps_hidden=(16,),
+            baseline_hidden=(32,))
+        model = AIRModel(cfg)
+        imgs = jax.random.uniform(jax.random.key(0), (4, 100, 100))
+        params = jax.jit(model.init)(
+            jax.random.key(1), imgs, jax.random.key(2), 0.5)
+        out = jax.jit(lambda p, x, k: model.apply(p, x, k, 0.5))(
+            params, imgs, jax.random.key(3))
+        assert out.canvas.shape == (4, 100, 100)
+        assert out.steps.z_where.shape == (4, 5, 4)
+        assert out.num_steps_pmf.shape == (4, 6)
+        assert bool(jnp.isfinite(out.elbo).all())

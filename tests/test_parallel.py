@@ -88,3 +88,37 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_shardmap_train_step():
+    """Explicit shard_map DP: runs on 8 devices, grads replicated, state
+    advances with finite metrics; deterministic across calls."""
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.parallel.shard_map_step import (
+        make_shardmap_train_step,
+    )
+    from attend_infer_repeat_tpu.train import create_train_state
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()  # batch 8 over 8 devices → 1 per device
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model)
+    imgs = jnp.zeros((cfg.train.batch_size,) + cfg.model.img_size)
+    state = create_train_state(cfg, model, imgs)
+
+    mesh = make_mesh(8)
+    state = jax.device_put(state, replicate(mesh))
+    step = make_shardmap_train_step(cfg, model, bank, mesh)
+
+    s1, m1 = step(state)
+    s1b, m1b = step(state)
+    assert int(s1.step) == 1
+    assert np.isfinite(float(m1["elbo"]))
+    assert float(m1["elbo"]) == float(m1b["elbo"])  # deterministic
+    # a second step continues fine (params changed)
+    s2, m2 = step(s1)
+    assert int(s2.step) == 2
+    diff = max(float(jnp.abs(a - b).max()) for a, b in
+               zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)))
+    assert diff > 0
