@@ -135,6 +135,20 @@ PRESETS = {
     ),
     # 2. Canonical paper setup: 0–2 digits, 50×50, 3 steps.
     "canonical": _preset("canonical"),
+    # 2b. TPU-native training regime for the canonical task: large batch
+    # (REINFORCE variance ∝ 1/batch; batch 1024 is ~free on a v5e) with
+    # proportionally larger learning rates and a faster prior anneal.
+    # Same model/task as "canonical" — only the optimization schedule is
+    # tuned to the hardware's operating point.
+    "canonical_fast": _preset(
+        "canonical_fast",
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0,
+                          n_iters=120_000, log_every=500,
+                          fig_every=5_000, save_every=5_000),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
+    ),
     # 3. Crowded: 0–5 digits on 100×100, 5 steps.
     "crowded": _preset(
         "crowded",

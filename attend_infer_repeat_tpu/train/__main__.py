@@ -14,6 +14,8 @@ from attend_infer_repeat_tpu.train.loop import train
 
 
 def main(argv=None):
+    from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(
         prog="python -m attend_infer_repeat_tpu.train",
         description="Train Attend-Infer-Repeat (TPU-native JAX build).")

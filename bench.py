@@ -60,6 +60,8 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
 
 
 def main():
+    from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="measure the CPU stand-in baseline and cache it")

@@ -134,6 +134,8 @@ def bench_st(batch_sizes=(64, 1024, 8192)):
 
 
 def main():
+    from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser()
     p.add_argument("what", choices=["train", "serving", "st", "all"])
     args = p.parse_args()
