@@ -42,9 +42,14 @@ class ModelConfig:
 
     # z_where prior N(loc, scale²) per (sx, sy, tx, ty).  Scale prior ~0.5:
     # a 28px digit on a 50px canvas needs an attention window of ~0.56 of
-    # the canvas [chosen; reference hand-set values uncertain].
+    # the canvas.  The scale std 0.1 is load-bearing [chosen, swept]: it
+    # makes one whole-canvas window (~12 nats) costlier than an extra
+    # object step (~7-11 nats), which forces object-wise decomposition —
+    # with std 0.2 the model reconstructs two digits through one big
+    # glimpse and count accuracy plateaus at ~0.65; with 0.1 it reaches
+    # ~1.0 (CPU sweep 2026-08-16).
     where_prior_loc: Tuple[float, ...] = (0.5, 0.5, 0.0, 0.0)
-    where_prior_scale: Tuple[float, ...] = (0.2, 0.2, 1.0, 1.0)
+    where_prior_scale: Tuple[float, ...] = (0.1, 0.1, 1.0, 1.0)
 
     # Presence predictor: positive initial logit bias so the model starts
     # by taking steps (explore), with the annealed geometric prior pruning
@@ -142,6 +147,7 @@ PRESETS = {
     # tuned to the hardware's operating point.
     "canonical_fast": _preset(
         "canonical_fast",
+        model=ModelConfig(explore_eps=0.05),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0,
