@@ -40,15 +40,15 @@ class ModelConfig:
     scale_offset: float = -2.0            # softplus(raw + offset): small init std [chosen]
     min_scale: float = 1e-4
 
-    # z_where prior N(loc, scale²) per (sx, sy, tx, ty).  Scale prior ~0.5:
-    # a 28px digit on a 50px canvas needs an attention window of ~0.56 of
-    # the canvas.  The scale std 0.1 is load-bearing [chosen, swept]: it
+    # z_where prior N(loc, scale²) per (sx, sy, tx, ty).  Scale-prior loc
+    # tracks the digit/canvas ratio (20 px digit on 50 px canvas → 0.4).
+    # The scale std 0.1 is load-bearing [chosen, swept]: it
     # makes one whole-canvas window (~12 nats) costlier than an extra
     # object step (~7-11 nats), which forces object-wise decomposition —
     # with std 0.2 the model reconstructs two digits through one big
     # glimpse and count accuracy plateaus at ~0.65; with 0.1 it reaches
     # ~1.0 (CPU sweep 2026-08-16).
-    where_prior_loc: Tuple[float, ...] = (0.5, 0.5, 0.0, 0.0)
+    where_prior_loc: Tuple[float, ...] = (0.4, 0.4, 0.0, 0.0)
     where_prior_scale: Tuple[float, ...] = (0.1, 0.1, 1.0, 1.0)
 
     # Presence predictor: positive initial logit bias so the model starts
@@ -107,7 +107,11 @@ class DataConfig:
     """On-device multi-digit canvas synthesis settings (SURVEY §4.4)."""
 
     canvas_size: Tuple[int, int] = (50, 50)
-    digit_size: Tuple[int, int] = (28, 28)
+    # 20 px digits on the 50 px canvas: two digit boxes can then be
+    # placed with (near-)disjoint extents (20+20 < 50), which the 28 px
+    # default made geometrically impossible (28+28 > 50 -> every 2-digit
+    # canvas was one connected blob and counting was ill-posed).
+    digit_size: Tuple[int, int] = (20, 20)
     min_digits: int = 0
     max_digits: int = 2
     scale_range: Tuple[float, float] = (1.0, 1.0)   # optional digit rescale

@@ -55,6 +55,10 @@ def train(config: Config | str, workdir: str = "runs/default",
     sample_imgs, _ = make_synth_fn(config.data, train_bank)(
         sample_key, tcfg.batch_size)
     state = create_train_state(config, model, sample_imgs)
+    # startup banner (reference experiment_tools prints flags + param count)
+    print(f"config: {config.name}  model={config.model}  "
+          f"train={config.train}  prior={config.prior}  "
+          f"data={config.data}", flush=True)
     print("param counts:", param_count(state.params), flush=True)
 
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt")) \

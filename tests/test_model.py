@@ -148,3 +148,36 @@ class TestCrowdedConfig:
         assert out.steps.z_where.shape == (4, 5, 4)
         assert out.num_steps_pmf.shape == (4, 6)
         assert bool(jnp.isfinite(out.elbo).all())
+
+
+class TestBfloat16Mode:
+    """dtype="bfloat16": matmuls in bf16 (MXU-native), params/outputs f32."""
+
+    def test_forward_finite_and_close_to_f32(self):
+        import jax
+        import jax.numpy as jnp
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models.air import AIRModel
+
+        kw = dict(img_size=(14, 14), glimpse_size=(6, 6), n_what=4,
+                  max_steps=2, rnn_hidden=16, encoder_hidden=(16,),
+                  glimpse_encoder_hidden=(16,), decoder_hidden=(16,),
+                  transform_hidden=(16,), steps_hidden=(8,),
+                  baseline_hidden=(16,))
+        m32 = AIRModel(ModelConfig(dtype="float32", **kw))
+        m16 = AIRModel(ModelConfig(dtype="bfloat16", **kw))
+        imgs = jax.random.uniform(jax.random.key(0), (8, 14, 14))
+        params = jax.jit(m32.init)(jax.random.key(1), imgs,
+                                   jax.random.key(2), 0.5)
+        # identical param tree works for both (params stay f32)
+        o32 = jax.jit(lambda p, x, k: m32.apply(p, x, k, 0.5))(
+            params, imgs, jax.random.key(3))
+        o16 = jax.jit(lambda p, x, k: m16.apply(p, x, k, 0.5))(
+            params, imgs, jax.random.key(3))
+        assert o16.elbo.dtype == jnp.float32
+        assert bool(jnp.isfinite(o16.elbo).all())
+        # bf16 matmuls differ from f32 but should be in the same ballpark
+        import numpy as np
+        np.testing.assert_allclose(np.asarray(o16.log_likelihood),
+                                   np.asarray(o32.log_likelihood),
+                                   rtol=0.2, atol=30.0)
