@@ -82,7 +82,17 @@ class AIRCell(nn.Module):
         z_what = what_loc + what_scale * jax.random.normal(
             k_what, what_loc.shape)
 
-        p = StepsPredictor(cfg)(h)                      # (B, 1)
+        # The presence decision gates THIS step's glimpse, so the
+        # predictor sees what the glimpse found (where it landed + the
+        # inferred appearance posterior), not just the pre-glimpse LSTM
+        # state — "is my window on a real object?" is directly readable
+        # from these; predicting it blindly from h is much harder and was
+        # the bottleneck for count learning (reference feeds hidden state
+        # only per SURVEY §1.2 recall [uncertain]; this is a deliberate
+        # improvement).
+        steps_in = jnp.concatenate(
+            [h, z_where, what_loc, what_scale], axis=-1)
+        p = StepsPredictor(cfg)(steps_in)               # (B, 1)
         pres_prev = z_pres                              # (B, 1)
         p_eff = p * pres_prev                           # monotone chain
         u = jax.random.uniform(k_pres, p_eff.shape)
