@@ -62,6 +62,13 @@ class ModelConfig:
     output_std: float = 0.3               # fixed σ_x [reconstructed, uncertain]
     output_multiplier: float = 1.0
 
+    # Residual (explain-away) encoding: each inference step encodes
+    # x − canvas-so-far instead of the raw image, so later steps see only
+    # the unexplained objects.  Inference-network improvement over the
+    # reference (which re-encodes the raw image every step); disable for
+    # reference-style behavior.
+    residual_encoding: bool = True
+
     # Computation dtype for matmuls ("float32" or "bfloat16"); params stay
     # float32 either way.
     dtype: str = "float32"

@@ -28,7 +28,6 @@ from attend_infer_repeat_tpu.models.cell import (
 )
 from attend_infer_repeat_tpu.models.modules import (
     BaselineMLP,
-    Encoder,
     GlimpseDecoder,
 )
 from attend_infer_repeat_tpu.ops.distributions import (
@@ -74,9 +73,11 @@ class AIRModel(nn.Module):
     use_baseline: bool = True
 
     def setup(self):
-        self.encoder = Encoder(self.cfg)
-        self.cell = make_scan_cell(self.cfg)
+        # The decoder is owned here (params at this scope) and shared with
+        # the scanned cell, so the in-scan decode and generate() use the
+        # same weights.
         self.decoder = GlimpseDecoder(self.cfg)
+        self.cell = make_scan_cell(self.cfg, self.decoder)
         if self.use_baseline:
             self.baseline = BaselineMLP(self.cfg)
 
@@ -87,21 +88,18 @@ class AIRModel(nn.Module):
         t_steps = cfg.max_steps
         x_flat = x.reshape(batch, -1)
 
-        # --- inference: encode once, scan the attend-infer cell ----------
-        embed = self.encoder(x_flat)
-        carry0 = initial_carry(cfg, x, embed)
+        # --- inference+generation: scan the attend-infer cell.  Each step
+        # encodes the residual image, infers (where, what, pres), decodes
+        # its glimpse and accumulates the canvas in the carry (cell.py).
+        carry0 = initial_carry(cfg, x)
         step_keys = jax.random.split(key, t_steps)
-        _, ys = self.cell(carry0, step_keys)
+        carry_f, ys = self.cell(carry0, step_keys)
         # time-major (T, B, ...) → batch-major (B, T, ...)
         steps: AIRStepOutput = jax.tree.map(
             lambda a: jnp.swapaxes(a, 0, 1), ys)
-
-        # --- generation: decode glimpses, paste, sum ----------------------
-        glimpses = self.decoder(steps.z_what)                 # (B, T, gh, gw)
-        canvases = st_paste(glimpses, steps.z_where, cfg.img_size)
+        glimpses = steps.glimpse                              # (B, T, gh, gw)
         pres = steps.pres                                     # (B, T)
-        canvas = jnp.sum(canvases * pres[..., None, None], axis=1)
-        canvas = canvas * cfg.output_multiplier
+        canvas = carry_f[1] * cfg.output_multiplier           # (B, H, W)
 
         # --- likelihood: fixed-σ Gaussian (reference model.py) ------------
         log_lik = jnp.sum(

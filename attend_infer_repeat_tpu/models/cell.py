@@ -30,11 +30,13 @@ from flax import struct
 
 from attend_infer_repeat_tpu.configs import ModelConfig
 from attend_infer_repeat_tpu.models.modules import (
+    Encoder,
+    GlimpseDecoder,
     GlimpseEncoder,
     StepsPredictor,
     StochasticTransformParam,
 )
-from attend_infer_repeat_tpu.ops.spatial_transformer import st_gather
+from attend_infer_repeat_tpu.ops.spatial_transformer import st_gather, st_paste
 
 
 @struct.dataclass
@@ -50,23 +52,46 @@ class AIRStepOutput:
     pres_prob: jax.Array     # (B,) effective presence prob p_t · pres_{t-1}
     pres: jax.Array          # (B,) hard 0/1 sample
     pres_prev: jax.Array     # (B,) presence of previous step (mask for log q)
+    glimpse: jax.Array       # (B, gh, gw) decoded appearance of this step
 
 
 Carry = Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array],
-              jax.Array, jax.Array, jax.Array]
+              jax.Array, jax.Array, jax.Array]  # img, canvas, lstm, what, where, pres
 
 
 class AIRCell(nn.Module):
-    """One attend-infer-repeat step.  Scanned via ``nn.scan`` in the model."""
+    """One attend-infer-repeat step.  Scanned via ``nn.scan`` in the model.
+
+    ``decoder`` is the parent-owned ``GlimpseDecoder`` (its params live at
+    the parent scope), shared between the in-scan decode here and the
+    model's ``generate`` path.
+    """
 
     cfg: ModelConfig
+    decoder: Any = None
 
     @nn.compact
     def __call__(self, carry: Carry, key: jax.Array):
-        img, embed, lstm_state, z_what, z_where, z_pres = carry
+        img, canvas, lstm_state, z_what, z_where, z_pres = carry
         cfg = self.cfg
         batch = img.shape[0]
         k_where, k_what, k_pres = jax.random.split(key, 3)
+
+        # Residual encoding (explain-away): each step encodes what is NOT
+        # yet explained (x − canvas so far), so the where-head solves the
+        # same "point at the ink" task at every step.  Without it, later
+        # steps must infer "ink not covered by previous z_wheres" from a
+        # static embedding — the round-1 bottleneck for multi-object
+        # counting (n=2 accuracy 0.31 vs 0.95+ for n∈{0,1}).  The canvas
+        # feature is stop-gradiented: it conditions q, but no gradients
+        # couple back through earlier steps' decodes.  The reference
+        # re-encodes the RAW image every step (cell.py recall); this is a
+        # deliberate inference-network improvement, config-gated.
+        if cfg.residual_encoding:
+            enc_in = img - jax.lax.stop_gradient(canvas)
+        else:
+            enc_in = img
+        embed = Encoder(cfg)(enc_in.reshape(batch, -1))
 
         lstm_in = jnp.concatenate([embed, z_what, z_where, z_pres], axis=-1)
         lstm_state, h = nn.OptimizedLSTMCell(cfg.rnn_hidden)(lstm_state,
@@ -98,26 +123,33 @@ class AIRCell(nn.Module):
         u = jax.random.uniform(k_pres, p_eff.shape)
         z_pres = (u < p_eff).astype(jnp.float32)        # hard 0/1
 
+        # decode + paste this step's appearance (generative side of the
+        # step, accumulated into the canvas carried for residual encoding)
+        decoder = self.decoder if self.decoder is not None \
+            else GlimpseDecoder(cfg)
+        glimpse_out = decoder(z_what)                   # (B, gh, gw)
+        paste = st_paste(glimpse_out, z_where, cfg.img_size)
+        canvas = canvas + z_pres[..., None] * paste
+
         out = AIRStepOutput(
             where_loc=where_loc, where_scale=where_scale, z_where=z_where,
             what_loc=what_loc, what_scale=what_scale, z_what=z_what,
             pres_prob=p_eff[..., 0], pres=z_pres[..., 0],
-            pres_prev=pres_prev[..., 0])
-        new_carry = (img, embed, lstm_state, z_what, z_where, z_pres)
+            pres_prev=pres_prev[..., 0], glimpse=glimpse_out)
+        new_carry = (img, canvas, lstm_state, z_what, z_where, z_pres)
         return new_carry, out
 
 
-def initial_carry(cfg: ModelConfig, img: jax.Array,
-                  embed: jax.Array) -> Carry:
+def initial_carry(cfg: ModelConfig, img: jax.Array) -> Carry:
     """Zero-initialized scan carry; presence starts at 1 (chain alive)."""
     batch = img.shape[0]
     zeros = lambda d: jnp.zeros((batch, d), jnp.float32)
     lstm_state = (zeros(cfg.rnn_hidden), zeros(cfg.rnn_hidden))
-    return (img, embed, lstm_state, zeros(cfg.n_what), zeros(4),
-            jnp.ones((batch, 1), jnp.float32))
+    return (img, jnp.zeros_like(img), lstm_state, zeros(cfg.n_what),
+            zeros(4), jnp.ones((batch, 1), jnp.float32))
 
 
-def make_scan_cell(cfg: ModelConfig) -> Any:
+def make_scan_cell(cfg: ModelConfig, decoder: Any = None) -> Any:
     """``AIRCell`` lifted over the object axis with broadcast parameters."""
     return nn.scan(
         AIRCell,
@@ -126,4 +158,4 @@ def make_scan_cell(cfg: ModelConfig) -> Any:
         in_axes=0,
         out_axes=0,
         length=cfg.max_steps,
-    )(cfg)
+    )(cfg, decoder)

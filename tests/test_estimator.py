@@ -44,7 +44,8 @@ def _toy_outputs(theta, keys, a=2.0, c=-1.0, baseline_val=None):
     steps = AIRStepOutput(
         where_loc=z, where_scale=z + 1, z_where=z,
         what_loc=z, what_scale=z + 1, z_what=z,
-        pres_prob=pres_prob, pres=pres, pres_prev=pres_prev)
+        pres_prob=pres_prob, pres=pres, pres_prev=pres_prev,
+        glimpse=jnp.zeros((B, 2, 1, 1)))
     baseline = (jnp.full((B, 2), baseline_val)
                 if baseline_val is not None else None)
     zero = jnp.zeros((B,))
@@ -172,7 +173,9 @@ class TestGradientSplit:
 
         g_full = self._grads(full_loss)
         g_nomse = self._grads(no_mse)
-        for name in ["encoder", "cell", "decoder"]:
+        model_names = [n for n in g_full if n != "baseline"]
+        assert model_names  # cell (+decoder) subtrees exist
+        for name in model_names:
             for a, b in zip(jax.tree.leaves(g_full[name]),
                             jax.tree.leaves(g_nomse[name])):
                 np.testing.assert_allclose(np.asarray(a), np.asarray(b),

@@ -96,3 +96,21 @@ def test_serving_infer_and_generate(setup):
     samples = gen(state.params, jax.random.key(9), 8)
     assert samples.shape == (8,) + cfg.model.img_size
     assert bool(jnp.isfinite(samples).all())
+
+
+def test_count_confusion(setup):
+    from attend_infer_repeat_tpu.eval import count_confusion, format_confusion
+    from attend_infer_repeat_tpu.train import make_eval_step
+
+    cfg, model, state, synth = setup
+    eval_step = make_eval_step(cfg, model)
+
+    def batches():
+        for i in range(2):
+            yield synth(jax.random.fold_in(jax.random.key(11), i), 32)
+
+    res = count_confusion(eval_step, state, batches(), jax.random.key(12))
+    assert res["confusion"].sum() == 64
+    assert 0.0 <= res["accuracy"] <= 1.0
+    txt = format_confusion(res)
+    assert "overall" in txt
