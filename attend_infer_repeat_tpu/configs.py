@@ -44,12 +44,14 @@ class ModelConfig:
     # tracks the digit/canvas ratio (20 px digit on 50 px canvas → 0.4).
     # The scale std 0.1 is load-bearing [chosen, swept]: it
     # makes one whole-canvas window (~12 nats) costlier than an extra
-    # object step (~7-11 nats), which forces object-wise decomposition —
-    # with std 0.2 the model reconstructs two digits through one big
-    # glimpse and count accuracy plateaus at ~0.65; with 0.1 it reaches
-    # ~1.0 (CPU sweep 2026-08-16).
+    # object step, which forces object-wise decomposition — with std 0.2
+    # the model paints multiple digits through one big glimpse; at 0.1 a
+    # double-height window (~24 nats) still undercuts a second step's
+    # count+latent KL (~40 nats) and 2-digit scenes merge; 0.05 makes the
+    # merged window cost ~98 nats so splitting wins (r6/r7 runs,
+    # 2026-08-16).
     where_prior_loc: Tuple[float, ...] = (0.4, 0.4, 0.0, 0.0)
-    where_prior_scale: Tuple[float, ...] = (0.1, 0.1, 1.0, 1.0)
+    where_prior_scale: Tuple[float, ...] = (0.05, 0.05, 1.0, 1.0)
 
     # Presence predictor: positive initial logit bias so the model starts
     # by taking steps (explore), with the annealed geometric prior pruning
@@ -158,7 +160,14 @@ PRESETS = {
     # tuned to the hardware's operating point.
     "canonical_fast": _preset(
         "canonical_fast",
-        model=ModelConfig(explore_eps=0.05),
+        # output_std 0.15 + scale-prior std 0.03 [swept on-chip]: the
+        # sharper likelihood makes painting two digits through one
+        # stretched glimpse costly, and the tight scale prior makes the
+        # oversized window itself costly — together they break the
+        # merge-two-digits local optimum (0.67 → 0.80 count accuracy in
+        # the 30k-step sweep).
+        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0)),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0,
