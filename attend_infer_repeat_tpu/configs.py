@@ -41,7 +41,7 @@ class ModelConfig:
     min_scale: float = 1e-4
 
     # z_where prior N(loc, scale²) per (sx, sy, tx, ty).  Scale-prior loc
-    # tracks the digit/canvas ratio (20 px digit on 50 px canvas → 0.4).
+    # tracks the digit/canvas ratio (16 px digit on 50 px canvas → 0.32).
     # The scale std 0.1 is load-bearing [chosen, swept]: it
     # makes one whole-canvas window (~12 nats) costlier than an extra
     # object step, which forces object-wise decomposition — with std 0.2
@@ -50,7 +50,7 @@ class ModelConfig:
     # count+latent KL (~40 nats) and 2-digit scenes merge; 0.05 makes the
     # merged window cost ~98 nats so splitting wins (r6/r7 runs,
     # 2026-08-16).
-    where_prior_loc: Tuple[float, ...] = (0.4, 0.4, 0.0, 0.0)
+    where_prior_loc: Tuple[float, ...] = (0.32, 0.32, 0.0, 0.0)
     where_prior_scale: Tuple[float, ...] = (0.05, 0.05, 1.0, 1.0)
 
     # Presence predictor: positive initial logit bias so the model starts
@@ -105,6 +105,8 @@ class TrainConfig:
     use_baseline: bool = True             # NVIL ablation switch (config 4)
     seed: int = 0
 
+    kl_warmup_steps: int = 0              # β: 0→1 over this many steps (0=off)
+
     log_every: int = 1_000
     fig_every: int = 10_000
     save_every: int = 10_000
@@ -116,14 +118,22 @@ class DataConfig:
     """On-device multi-digit canvas synthesis settings (SURVEY §4.4)."""
 
     canvas_size: Tuple[int, int] = (50, 50)
-    # 20 px digits on the 50 px canvas: two digit boxes can then be
-    # placed with (near-)disjoint extents (20+20 < 50), which the 28 px
-    # default made geometrically impossible (28+28 > 50 -> every 2-digit
-    # canvas was one connected blob and counting was ill-posed).
-    digit_size: Tuple[int, int] = (20, 20)
+    # 16 px digits on the 50 px canvas: digit boxes fit in distinct grid
+    # cells with a guaranteed ≥6 px gap (cell_margin).  At 28 px disjoint
+    # placement is geometrically impossible (28+28 > 50) and at 20 px
+    # adjacent-cell digits could sit 2 px apart — both regimes produce
+    # connected blobs the upsampled low-res source digits cannot make
+    # countable (mode accuracy capped at ~0.83); at 16 px + margin 0.12
+    # it reaches ~0.93+ (on-chip sweeps 2026-08-16).
+    digit_size: Tuple[int, int] = (16, 16)
     min_digits: int = 0
     max_digits: int = 2
     scale_range: Tuple[float, float] = (1.0, 1.0)   # optional digit rescale
+    # Digit boxes keep this fraction of their grid cell away from the
+    # cell boundary — half the guaranteed gap between digits in adjacent
+    # cells.  Raise it (with a smaller digit) to keep digits visually
+    # separate on crowded canvases.
+    cell_margin: float = 0.12
     n_train: int = 60_000
     n_eval: int = 10_000
     source: str = "auto"   # "auto" | "sklearn" | "mnist:<path>"
@@ -170,7 +180,7 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0)),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
-                          grad_clip_norm=100.0,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=120_000, log_every=500,
                           fig_every=5_000, save_every=5_000),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),

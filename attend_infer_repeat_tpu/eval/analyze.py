@@ -27,7 +27,7 @@ def count_confusion(eval_step: Callable, state, batches, key) -> Dict:
         _, outputs = eval_step(state, imgs, nums,
                                jax.random.fold_in(key, i))
         t = np.asarray(nums).astype(int)
-        p = np.asarray(outputs.predicted_steps).astype(int)
+        p = np.asarray(outputs.mode_steps).astype(int)
         pairs.append((t, p))
         c_max = max(c_max, t.max(), p.max())
     k = c_max + 1

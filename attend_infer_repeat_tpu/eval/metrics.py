@@ -60,7 +60,7 @@ class MetricsLogger:
             for k, v in metrics.items():
                 self._tb.add_scalar(f"{prefix}/{k}", float(v), int(step))
         keys = ("elbo", "log_likelihood", "kl_steps", "count_accuracy",
-                "expected_steps")
+                "count_accuracy_mode", "expected_steps")
         brief = " ".join(f"{k}={metrics[k]:.4g}" for k in keys
                          if k in metrics)
         print(f"[{prefix} {step}] {brief}", flush=True)

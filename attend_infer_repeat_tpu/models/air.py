@@ -59,6 +59,7 @@ class AIROutputs:
     num_steps_pmf: jax.Array       # (B, T+1) posterior over object counts
     expected_steps: jax.Array      # (B,) E[n | x] under the count posterior
     predicted_steps: jax.Array     # (B,) sampled count Σ_t z_pres_t
+    mode_steps: jax.Array          # (B,) MAP count argmax_k q(n=k | x)
     baseline: Optional[jax.Array]  # (B, T) NVIL baseline values (or None)
 
 
@@ -144,6 +145,7 @@ class AIRModel(nn.Module):
             glimpses=glimpses, steps=steps, num_steps_pmf=pmf,
             expected_steps=jnp.sum(pmf * ks, axis=-1),
             predicted_steps=jnp.sum(pres, axis=-1),
+            mode_steps=jnp.argmax(pmf, axis=-1).astype(jnp.float32),
             baseline=baseline)
 
     # ------------------------------------------------------------------

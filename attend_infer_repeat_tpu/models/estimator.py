@@ -53,16 +53,29 @@ def presence_log_prob(outputs: AIROutputs) -> jax.Array:
 def surrogate_loss(outputs: AIROutputs,
                    l2_params_norm: jax.Array | float = 0.0,
                    l2_weight: float = 0.0,
+                   kl_beta: jax.Array | float = 1.0,
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single scalar surrogate whose gradient is the AIR estimator.
 
     Returns (loss, metrics).  Metrics are per-batch means of the ELBO
     decomposition plus estimator diagnostics.
+
+    ``kl_beta`` down-weights the continuous-latent KLs (z_what, z_where)
+    in the optimization objective — KL warmup.  Early in training an
+    extra object step costs its full latent KL before it has learned to
+    pay for itself in likelihood, which drives the model into merged
+    one-window-covers-two-objects optima; warming β 0→1 makes splitting
+    free while decomposition forms.  The count KL stays un-weighted (the
+    geometric prior anneal owns presence pruning), and reported metrics
+    always use the TRUE elbo (β=1).
     """
     elbo = outputs.elbo                                     # (B,)
+    obj = (outputs.log_likelihood
+           - kl_beta * (outputs.kl_what + outputs.kl_where)
+           - outputs.kl_steps)                              # (B,) β-objective
     log_q = presence_log_prob(outputs)                      # (B, T)
 
-    signal = sg(elbo)[:, None]                              # (B, 1)
+    signal = sg(obj)[:, None]                               # (B, 1)
     if outputs.baseline is not None:
         advantage = signal - sg(outputs.baseline)           # (B, T)
         baseline_mse = jnp.mean(
@@ -73,7 +86,7 @@ def surrogate_loss(outputs: AIROutputs,
 
     reinforce = jnp.sum(advantage * log_q, axis=-1)         # (B,)
 
-    loss = jnp.mean(-elbo - reinforce) + baseline_mse
+    loss = jnp.mean(-obj - reinforce) + baseline_mse
     if l2_weight:
         loss = loss + l2_weight * l2_params_norm
 
@@ -91,14 +104,18 @@ def surrogate_loss(outputs: AIROutputs,
     return loss, metrics
 
 
-def count_accuracy(outputs: AIROutputs, true_counts: jax.Array) -> jax.Array:
+def count_accuracy(outputs: AIROutputs, true_counts: jax.Array,
+                   use_mode: bool = False) -> jax.Array:
     """Fraction of images whose inferred object count matches ground truth.
 
-    The reference's ``num_step_accuracy`` (``model.py``): compares the
-    sampled count ``Σ_t z_pres_t`` to the true digit count.  Ground-truth
+    ``use_mode=False`` compares the sampled count ``Σ_t z_pres_t`` (the
+    reference's ``num_step_accuracy``, ``model.py``).  ``use_mode=True``
+    compares the MAP count (argmax of the closed-form count posterior) —
+    the better estimator, and immune to the ``explore_eps`` sampling
+    floor, which caps sampled-count accuracy at ~(1−eps)³.  Ground-truth
     counts are evaluation-only — never used in training (SURVEY §1.4).
     """
-    pred = outputs.predicted_steps
+    pred = outputs.mode_steps if use_mode else outputs.predicted_steps
     return jnp.mean((pred == true_counts.astype(pred.dtype))
                     .astype(jnp.float32))
 

@@ -45,6 +45,7 @@ def make_infer_fn(config: Config, model: AIRModel, mesh=None) -> Callable:
             "presence_prob": out.steps.pres_prob,
             "num_steps_pmf": out.num_steps_pmf,
             "predicted_steps": out.predicted_steps,
+            "mode_steps": out.mode_steps,
         }
 
     return infer

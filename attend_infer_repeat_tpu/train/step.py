@@ -67,12 +67,20 @@ def make_train_step(config: Config, model, digit_bank=None,
         imgs = constrain_batch(imgs, mesh)
         nums = constrain_batch(nums, mesh)
 
+        if tcfg.kl_warmup_steps:
+            kl_beta = jnp.clip(
+                state.step.astype(jnp.float32) / tcfg.kl_warmup_steps,
+                0.0, 1.0)
+        else:
+            kl_beta = 1.0
+
         def loss_fn(params):
             outputs = model.apply(params, imgs, k_model, p_success)
             loss, metrics = surrogate_loss(
                 outputs,
                 l2_params_norm=_l2_norm_sq(params),
-                l2_weight=tcfg.l2_weight)
+                l2_weight=tcfg.l2_weight,
+                kl_beta=kl_beta)
             return loss, (metrics, outputs)
 
         grads, (metrics, outputs) = jax.grad(
@@ -83,6 +91,8 @@ def make_train_step(config: Config, model, digit_bank=None,
 
         metrics = dict(metrics)
         metrics["count_accuracy"] = count_accuracy(outputs, nums)
+        metrics["count_accuracy_mode"] = count_accuracy(
+            outputs, nums, use_mode=True)
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["prior_success_prob"] = p_success
         new_state = state.replace(
@@ -109,6 +119,8 @@ def make_eval_step(config: Config, model) -> Callable:
         _, metrics = surrogate_loss(outputs)
         metrics = dict(metrics)
         metrics["count_accuracy"] = count_accuracy(outputs, nums)
+        metrics["count_accuracy_mode"] = count_accuracy(
+            outputs, nums, use_mode=True)
         return metrics, outputs
 
     return eval_fn

@@ -54,7 +54,8 @@ def _toy_outputs(theta, keys, a=2.0, c=-1.0, baseline_val=None):
         kl_steps=zero, canvas=jnp.zeros((B, 1, 1)),
         glimpses=jnp.zeros((B, 2, 1, 1)), steps=steps,
         num_steps_pmf=jnp.zeros((B, 3)), expected_steps=zero,
-        predicted_steps=jnp.sum(pres, -1), baseline=baseline)
+        predicted_steps=jnp.sum(pres, -1),
+        mode_steps=jnp.sum(pres, -1), baseline=baseline)
 
 
 def _exact_objective(theta, a=2.0, c=-1.0):
