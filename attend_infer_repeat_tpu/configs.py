@@ -53,6 +53,13 @@ class ModelConfig:
     where_prior_loc: Tuple[float, ...] = (0.32, 0.32, 0.0, 0.0)
     where_prior_scale: Tuple[float, ...] = (0.05, 0.05, 1.0, 1.0)
 
+    # Isotropic attention windows: z_where = (s, tx, ty) with sy = sx (the
+    # ORIGINAL AIR paper's 3-dim parameterization; the reference repo
+    # generalizes to 4).  Banning independent aspect stretch removes the
+    # merge-two-stacked-digits-in-one-tall-window optimum — the residual
+    # failure mode at ~0.93 accuracy (every error was a vertical merge).
+    isotropic_scale: bool = False
+
     # Presence predictor: positive initial logit bias so the model starts
     # by taking steps (explore), with the annealed geometric prior pruning
     # them later [chosen].
@@ -70,6 +77,10 @@ class ModelConfig:
     # reference (which re-encodes the raw image every step); disable for
     # reference-style behavior.
     residual_encoding: bool = True
+
+    # Spatial-transformer backend for the model's gather/paste:
+    # "xla" (separable einsum) or "pallas" (fused kernel).
+    st_method: str = "xla"
 
     # Computation dtype for matmuls ("float32" or "bfloat16"); params stay
     # float32 either way.
@@ -177,7 +188,8 @@ PRESETS = {
         # merge-two-digits local optimum (0.67 → 0.80 count accuracy in
         # the 30k-step sweep).
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
-                          where_prior_scale=(0.03, 0.03, 1.0, 1.0)),
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          isotropic_scale=True),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,

@@ -107,10 +107,13 @@ class AIRModel(nn.Module):
             normal_log_prob(x, canvas, cfg.output_std), axis=(-2, -1))
 
         # --- analytic KLs masked by sampled presence (SURVEY §1.3) --------
+        from attend_infer_repeat_tpu.models.modules import where_param_indices
+        w_idx = where_param_indices(cfg)
         kl_where_t = jnp.sum(
             normal_kl(steps.where_loc, steps.where_scale,
-                      jnp.asarray(cfg.where_prior_loc),
-                      jnp.asarray(cfg.where_prior_scale)), axis=-1)
+                      jnp.asarray([cfg.where_prior_loc[i] for i in w_idx]),
+                      jnp.asarray([cfg.where_prior_scale[i] for i in w_idx])),
+            axis=-1)
         kl_what_t = jnp.sum(
             normal_kl(steps.what_loc, steps.what_scale, 0.0, 1.0), axis=-1)
         kl_where = jnp.sum(kl_where_t * pres, axis=-1)
@@ -164,11 +167,15 @@ class AIRModel(nn.Module):
         step_idx = jnp.arange(t_steps)
         pres = (step_idx[None, :] < n[:, None]).astype(jnp.float32)
 
+        from attend_infer_repeat_tpu.models.modules import (
+            expand_where, where_param_indices)
         z_what = jax.random.normal(k_what, (batch, t_steps, cfg.n_what))
-        loc = jnp.asarray(cfg.where_prior_loc)
-        scale = jnp.asarray(cfg.where_prior_scale)
-        z_where = loc + scale * jax.random.normal(
-            k_where, (batch, t_steps, 4))
+        w_idx = where_param_indices(cfg)
+        loc = jnp.asarray([cfg.where_prior_loc[i] for i in w_idx])
+        scale = jnp.asarray([cfg.where_prior_scale[i] for i in w_idx])
+        z_w = loc + scale * jax.random.normal(
+            k_where, (batch, t_steps, len(w_idx)))
+        z_where = expand_where(cfg, z_w)
 
         glimpses = self.decoder(z_what)
         canvases = st_paste(glimpses, z_where, cfg.img_size)

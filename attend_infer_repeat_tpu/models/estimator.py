@@ -70,9 +70,13 @@ def surrogate_loss(outputs: AIROutputs,
     always use the TRUE elbo (β=1).
     """
     elbo = outputs.elbo                                     # (B,)
-    obj = (outputs.log_likelihood
-           - kl_beta * (outputs.kl_what + outputs.kl_where)
-           - outputs.kl_steps)                              # (B,) β-objective
+    # β warms only the APPEARANCE KL: a cheap z_what lets extra steps
+    # form before they pay for themselves.  The where-KL must be at full
+    # strength from step 0 — windows that grow to cover two objects form
+    # exactly while their prior cost is discounted, and once formed they
+    # are a local optimum gradient descent never leaves.
+    # expressed relative to the true elbo so kl_beta == 1 is bitwise elbo
+    obj = outputs.elbo + (1.0 - kl_beta) * outputs.kl_what  # (B,) β-objective
     log_q = presence_log_prob(outputs)                      # (B, T)
 
     signal = sg(obj)[:, None]                               # (B, 1)

@@ -74,20 +74,37 @@ class GaussianHead(nn.Module):
 
 
 class StochasticTransformParam(nn.Module):
-    """LSTM features → q(z_where) parameters (4 loc + 4 softplus scales).
+    """LSTM features → q(z_where) parameters (loc + softplus scales).
 
     Reference ``modules.py:StochasticTransformParam``.  The loc is biased
     toward the z_where prior mean so initial attention windows are centered
-    digit-sized crops rather than random noise.
+    digit-sized crops rather than random noise.  Event dim is 4
+    (sx, sy, tx, ty) or 3 (s, tx, ty) under ``cfg.isotropic_scale``.
     """
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, h):
-        h = MLP(self.cfg.transform_hidden, dtype=_dtype(self.cfg))(h)
-        return GaussianHead(self.cfg, 4,
-                            loc_bias=self.cfg.where_prior_loc)(h)
+        cfg = self.cfg
+        h = MLP(cfg.transform_hidden, dtype=_dtype(cfg))(h)
+        idx = where_param_indices(cfg)
+        bias = tuple(cfg.where_prior_loc[i] for i in idx)
+        return GaussianHead(cfg, len(idx), loc_bias=bias)(h)
+
+
+def where_param_indices(cfg: ModelConfig):
+    """Indices into the 4-dim (sx, sy, tx, ty) prior tuples that the
+    where-posterior actually parameterizes."""
+    return (0, 2, 3) if cfg.isotropic_scale else (0, 1, 2, 3)
+
+
+def expand_where(cfg: ModelConfig, z_w):
+    """Posterior sample → 4-dim affine (sx, sy, tx, ty) for the ST."""
+    if cfg.isotropic_scale:
+        return jnp.concatenate(
+            [z_w[..., 0:1], z_w[..., 0:1], z_w[..., 1:]], axis=-1)
+    return z_w
 
 
 class GlimpseEncoder(nn.Module):
