@@ -35,13 +35,16 @@ def _axis_weights_in_kernel(scale, shift, out_size: int, in_size: int):
     ``broadcasted_iota`` (TPU needs ≥2-D iota).
     """
     bb = scale.shape[0]
-    k = jax.lax.broadcasted_iota(jnp.float32, (bb, out_size), 1)
+    # Mosaic's tpu.iota is integer-only — generate int32 and cast.
+    k = jax.lax.broadcasted_iota(jnp.int32, (bb, out_size), 1).astype(
+        jnp.float32)
     # normalized output coords: linspace(-1, 1, out)
     denom = max(out_size - 1, 1)
     u = 2.0 * k / denom - 1.0
     src = scale[:, None] * u + shift[:, None]                 # (BB, out)
     p = (src + 1.0) * (in_size - 1) / 2.0
-    q = jax.lax.broadcasted_iota(jnp.float32, (bb, out_size, in_size), 2)
+    q = jax.lax.broadcasted_iota(
+        jnp.int32, (bb, out_size, in_size), 2).astype(jnp.float32)
     return jnp.maximum(1.0 - jnp.abs(p[:, :, None] - q), 0.0)
 
 
