@@ -197,11 +197,23 @@ PRESETS = {
                           fig_every=5_000, save_every=5_000),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
-    # 3. Crowded: 0–5 digits on 100×100, 5 steps.
+    # 3. Crowded: 0–5 digits on 100×100, 5 steps.  Same training recipe
+    # as canonical_fast; where-prior loc tracks the digit/canvas ratio
+    # (16/100) and the scan runs 5 steps.
     "crowded": _preset(
         "crowded",
-        model=ModelConfig(img_size=(100, 100), max_steps=5),
+        model=ModelConfig(img_size=(100, 100), max_steps=5,
+                          explore_eps=0.05, output_std=0.15,
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          where_prior_loc=(0.16, 0.16, 0.0, 0.0),
+                          isotropic_scale=True),
         data=DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5),
+        train=TrainConfig(batch_size=512, learning_rate=1e-4,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
+                          n_iters=150_000, log_every=500,
+                          fig_every=5_000, save_every=5_000),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 4. IWAE k=5 eval bound + NVIL-baseline ablation.
     "iwae": _preset(
