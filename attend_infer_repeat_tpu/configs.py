@@ -166,11 +166,22 @@ def _preset(name, **kw) -> Config:
 #: The five benchmark presets from BASELINE.json.
 PRESETS = {
     # 1. Degenerate AIR = one-glimpse VAE; CPU-runnable golden config.
+    # Every image has exactly one digit, so the count prior anneals only
+    # mildly (final 0.5 ≈ uniform over {0,1}) — annealing to 1e-5 would
+    # ask the model to explain a digit with zero steps.
     "single_digit": _preset(
         "single_digit",
-        model=ModelConfig(max_steps=1),
+        model=ModelConfig(max_steps=1, explore_eps=0.05, output_std=0.15,
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          isotropic_scale=True),
         data=DataConfig(min_digits=1, max_digits=1),
-        train=TrainConfig(n_iters=50_000),
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=10_000,
+                          n_iters=50_000, log_every=500,
+                          fig_every=5_000, save_every=5_000),
+        prior=PriorAnnealConfig(final_success_prob=0.5,
+                                anneal_start=1_000, anneal_steps=10_000),
     ),
     # 2. Canonical paper setup: 0–2 digits, 50×50, 3 steps.
     "canonical": _preset("canonical"),
@@ -215,10 +226,22 @@ PRESETS = {
                           fig_every=5_000, save_every=5_000),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
-    # 4. IWAE k=5 eval bound + NVIL-baseline ablation.
+    # 4. IWAE k=5 eval bound + NVIL-baseline ablation: same task/recipe
+    # as canonical_fast but without the learned baseline (score-function
+    # gradients centered only by stop-grad of the signal) — the ablation
+    # measures what NVIL buys.  Evaluate with eval.make_iwae_eval_step.
     "iwae": _preset(
         "iwae",
-        train=TrainConfig(use_baseline=False),
+        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          isotropic_scale=True),
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
+                          n_iters=120_000, log_every=500,
+                          fig_every=5_000, save_every=5_000,
+                          use_baseline=False),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 5. Batch-8192 amortized inference/generation serving sweep.
     "serving": _preset(
