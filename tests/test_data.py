@@ -114,3 +114,18 @@ def test_inmemory_batches_cover_epoch():
     it = ds.batches(batch_size=5, seed=0)
     seen = np.concatenate([next(it)[1] for _ in range(4)])
     assert sorted(seen.tolist()) == list(range(20))
+
+
+def test_mnist_npz_source(tmp_path):
+    """The mnist:<path> source loads .npz digit archives (real-MNIST path)."""
+    imgs = (np.random.rand(32, 28, 28) * 255).astype(np.uint8)
+    labels = np.arange(32, dtype=np.int64) % 10
+    path = tmp_path / "digits.npz"
+    np.savez(path, images=imgs, labels=labels)
+    bank, lab = load_digit_bank(f"mnist:{path}", digit_size=(16, 16))
+    ev, _ = load_digit_bank(f"mnist:{path}", digit_size=(16, 16),
+                            split="eval")
+    # deterministic 90/10 split: train and eval digits are disjoint
+    assert bank.shape == (29, 16, 16) and ev.shape == (3, 16, 16)
+    assert bank.max() <= 1.0 + 1e-6
+    assert lab.shape == (29,)
