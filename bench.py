@@ -89,7 +89,7 @@ def main():
         # the chip's train throughput is the large-batch operating point.
         # Report the best of both; vs_baseline is best-TPU / best-CPU.
         value = max(measure_images_per_sec(batch_size=64),
-                    measure_images_per_sec(n_warmup=2, n_timed=20,
+                    measure_images_per_sec(n_warmup=10, n_timed=50,
                                            batch_size=1024))
     baseline = None
     if os.path.exists(_BASELINE_PATH):
