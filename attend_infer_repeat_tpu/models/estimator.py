@@ -60,8 +60,8 @@ def surrogate_loss(outputs: AIROutputs,
     Returns (loss, metrics).  Metrics are per-batch means of the ELBO
     decomposition plus estimator diagnostics.
 
-    ``kl_beta`` down-weights the continuous-latent KLs (z_what, z_where)
-    in the optimization objective — KL warmup.  Early in training an
+    ``kl_beta`` down-weights the z_what (appearance) KL ONLY in the
+    optimization objective — KL warmup.  Early in training an
     extra object step costs its full latent KL before it has learned to
     pay for itself in likelihood, which drives the model into merged
     one-window-covers-two-objects optima; warming β 0→1 makes splitting
@@ -124,12 +124,66 @@ def count_accuracy(outputs: AIROutputs, true_counts: jax.Array,
                     .astype(jnp.float32))
 
 
-def iwae_bound(elbo_particles: jax.Array, axis: int = 0) -> jax.Array:
-    """Importance-weighted bound from per-particle ELBO samples.
+def log_importance_weights(outputs: AIROutputs, cfg,
+                           prior_success_prob) -> jax.Array:
+    """Per-example ``log [p(x, z) / q(z | x)]`` at the SAMPLED latents.
 
-    ``log (1/k) Σ_k exp(elbo_k)`` along ``axis`` (BASELINE.json config 4).
-    Inputs are per-particle single-sample ELBO estimates of shape
-    ``(k, B)`` by default.
+    The valid per-particle quantity for an IWAE bound (Burda et al. 2016):
+    unlike ``outputs.elbo`` — which uses the ANALYTIC KLs and is therefore
+    not ``log`` of an unbiased estimator of ``p(x)`` — this evaluates the
+    actual sampled ``(z_what, z_where, z_pres)`` under prior and posterior:
+
+      log w = log p(x|z)
+            + Σ_t pres_t · [log p(z_what_t) − log q(z_what_t|·)
+                            + log p(z_where_t) − log q(z_where_t|·)]
+            + log p(n) − log q(n|x)
+
+    For the monotone presence chain, the probability of the sampled
+    stopping pattern equals the count pmf at ``n = Σ_t pres_t`` under both
+    q (``presence_pmf``) and the geometric prior, so the discrete term is
+    a pmf lookup.  ``E_q[log w]`` equals the ELBO, so this is also the
+    single-sample stochastic-KL ELBO estimator (tested against the
+    analytic one in ``tests/test_estimator.py``).
     """
-    k = elbo_particles.shape[axis]
-    return jax.nn.logsumexp(elbo_particles, axis=axis) - jnp.log(float(k))
+    from attend_infer_repeat_tpu.models.modules import where_param_indices
+    from attend_infer_repeat_tpu.ops.distributions import (
+        geometric_prior,
+        normal_log_prob,
+    )
+
+    s = outputs.steps
+    pres = s.pres                                            # (B, T)
+    w_idx = list(where_param_indices(cfg))
+    z_w = s.z_where[..., jnp.asarray(w_idx)]                 # reduced sample
+    prior_loc = jnp.asarray([cfg.where_prior_loc[i] for i in w_idx])
+    prior_scale = jnp.asarray([cfg.where_prior_scale[i] for i in w_idx])
+
+    lw_where = jnp.sum(
+        normal_log_prob(z_w, prior_loc, prior_scale)
+        - normal_log_prob(z_w, s.where_loc, s.where_scale), axis=-1)
+    lw_what = jnp.sum(
+        normal_log_prob(s.z_what, 0.0, 1.0)
+        - normal_log_prob(s.z_what, s.what_loc, s.what_scale), axis=-1)
+    continuous = jnp.sum(pres * (lw_where + lw_what), axis=-1)   # (B,)
+
+    t_steps = pres.shape[-1]
+    n = jnp.sum(pres, axis=-1).astype(jnp.int32)             # sampled count
+    p_pmf = geometric_prior(prior_success_prob, t_steps)     # (T+1,)
+    eps = 1e-20
+    log_q_n = jnp.log(jnp.take_along_axis(
+        outputs.num_steps_pmf, n[:, None], axis=-1)[:, 0] + eps)
+    log_p_n = jnp.log(p_pmf[n] + eps)
+
+    return outputs.log_likelihood + continuous + log_p_n - log_q_n
+
+
+def iwae_bound(log_weights: jax.Array, axis: int = 0) -> jax.Array:
+    """Importance-weighted bound from per-particle log importance weights.
+
+    ``log (1/k) Σ_k exp(log_w_k)`` along ``axis`` (BASELINE.json config 4).
+    Inputs must be ``log_importance_weights`` values (sampled-latent log
+    weights, shape ``(k, B)`` by default) — NOT analytic-KL ELBOs, whose
+    logsumexp is not a valid bound on ``log p(x)``.
+    """
+    k = log_weights.shape[axis]
+    return jax.nn.logsumexp(log_weights, axis=axis) - jnp.log(float(k))

@@ -183,6 +183,88 @@ class TestGradientSplit:
                                            rtol=1e-5, atol=1e-7)
 
 
+class TestImportanceWeights:
+    """``log_importance_weights`` must be a correct single-sample ELBO
+    estimator: E_q[log w] equals the analytic-KL ELBO (both unbiased for
+    the true ELBO), and the IWAE bound built from it obeys Jensen."""
+
+    def _setup(self):
+        from attend_infer_repeat_tpu.configs import ModelConfig
+
+        cfg = ModelConfig(
+            img_size=(8, 8), glimpse_size=(4, 4), n_what=2, max_steps=2,
+            rnn_hidden=8, encoder_hidden=(8,), glimpse_encoder_hidden=(8,),
+            decoder_hidden=(8,), transform_hidden=(8,), steps_hidden=(4,),
+            baseline_hidden=(8,))
+        model = AIRModel(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (16, 8, 8))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        return cfg, model, x, params
+
+    def test_expected_log_weight_matches_analytic_elbo(self):
+        from attend_infer_repeat_tpu.models.estimator import (
+            log_importance_weights)
+
+        cfg, model, x, params = self._setup()
+        n_particles = 512
+
+        @jax.jit
+        def particle(key):
+            out = model.apply(params, x, key, 0.5)
+            return log_importance_weights(out, cfg, 0.5), out.elbo
+
+        keys = jax.random.split(jax.random.PRNGKey(3), n_particles)
+        log_w, elbos = jax.vmap(particle)(keys)        # (k, B) each
+        log_w, elbos = np.asarray(log_w), np.asarray(elbos)
+        # per-image expectations agree within Monte-Carlo error
+        diff = log_w.mean(0) - elbos.mean(0)           # (B,)
+        stderr = (log_w.std(0) + elbos.std(0)) / np.sqrt(n_particles)
+        assert np.all(np.abs(diff) < 6 * stderr + 1e-3), (
+            diff, stderr)
+
+    def test_isotropic_where_parameterization(self):
+        """The reduced where-sample recovered from the expanded affine must
+        make log_importance_weights finite and consistent under the
+        3-dim isotropic parameterization too."""
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models.estimator import (
+            log_importance_weights)
+
+        cfg = ModelConfig(
+            img_size=(8, 8), glimpse_size=(4, 4), n_what=2, max_steps=2,
+            rnn_hidden=8, encoder_hidden=(8,), glimpse_encoder_hidden=(8,),
+            decoder_hidden=(8,), transform_hidden=(8,), steps_hidden=(4,),
+            baseline_hidden=(8,), isotropic_scale=True)
+        model = AIRModel(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (8, 8, 8))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        out = model.apply(params, x, jax.random.PRNGKey(4), 0.5)
+        lw = log_importance_weights(out, cfg, 0.5)
+        assert lw.shape == (8,)
+        assert np.all(np.isfinite(np.asarray(lw)))
+
+    def test_iwae_bound_jensen_and_k1(self):
+        from attend_infer_repeat_tpu.models.estimator import (
+            iwae_bound, log_importance_weights)
+
+        cfg, model, x, params = self._setup()
+        keys = jax.random.split(jax.random.PRNGKey(5), 8)
+
+        def particle(key):
+            out = model.apply(params, x, key, 0.5)
+            return log_importance_weights(out, cfg, 0.5)
+
+        log_w = jax.vmap(particle)(keys)               # (8, B)
+        # Jensen: logsumexp-mean dominates the arithmetic mean, always
+        b8 = np.asarray(iwae_bound(log_w, axis=0))
+        assert np.all(b8 >= np.asarray(log_w.mean(0)) - 1e-5)
+        # k=1 bound IS the log weight
+        np.testing.assert_allclose(np.asarray(iwae_bound(log_w[:1], axis=0)),
+                                   np.asarray(log_w[0]), rtol=1e-6)
+
+
 class TestLogProbConsistency:
     def test_bernoulli_logq_matches_chain(self):
         """log q of a sampled chain equals the sum of masked Bernoulli
