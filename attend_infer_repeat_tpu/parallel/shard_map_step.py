@@ -22,7 +22,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from attend_infer_repeat_tpu.configs import Config
 from attend_infer_repeat_tpu.data.synth import synthesize_batch
@@ -31,6 +30,7 @@ from attend_infer_repeat_tpu.models.estimator import (
     surrogate_loss,
 )
 from attend_infer_repeat_tpu.parallel.sharding import DATA_AXIS
+from attend_infer_repeat_tpu.train.step import _l2_norm_sq
 from attend_infer_repeat_tpu.train.state import (
     TrainState,
     make_optimizer,
@@ -61,9 +61,23 @@ def make_shardmap_train_step(config: Config, model, digit_bank,
 
         imgs, nums = synthesize_batch(k_data, bank, config.data, local_bs)
 
+        # identical objective to the GSPMD path (train/step.py): same
+        # kl_beta warmup and L2 term, so both DP variants train the same
+        # loss for a given config.
+        if tcfg.kl_warmup_steps:
+            kl_beta = jnp.clip(
+                state.step.astype(jnp.float32) / tcfg.kl_warmup_steps,
+                0.0, 1.0)
+        else:
+            kl_beta = 1.0
+
         def loss_fn(params):
             outputs = model.apply(params, imgs, k_model, p_success)
-            loss, metrics = surrogate_loss(outputs)
+            loss, metrics = surrogate_loss(
+                outputs,
+                l2_params_norm=_l2_norm_sq(params),
+                l2_weight=tcfg.l2_weight,
+                kl_beta=kl_beta)
             return loss, (metrics, outputs)
 
         grads, (metrics, outputs) = jax.grad(
@@ -83,6 +97,6 @@ def make_shardmap_train_step(config: Config, model, digit_bank,
         return new_state, metrics
 
     repl = P()  # replicated in and out; batch lives only inside the body
-    mapped = shard_map(spmd_body, mesh=mesh, in_specs=(repl,),
-                       out_specs=(repl, repl), check_rep=False)
+    mapped = jax.shard_map(spmd_body, mesh=mesh, in_specs=(repl,),
+                           out_specs=(repl, repl), check_vma=False)
     return jax.jit(mapped)

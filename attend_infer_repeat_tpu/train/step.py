@@ -31,7 +31,15 @@ from attend_infer_repeat_tpu.train.state import (
 
 
 def _l2_norm_sq(params) -> jax.Array:
-    leaves = jax.tree.leaves(params["params"])
+    """Σ‖θ‖² over MODEL parameters only.
+
+    The NVIL ``baseline`` subtree is excluded: the reference keeps the two
+    variable collections disjoint (SURVEY §4.3), so model L2 must not leak
+    a regularization gradient into the supposedly isolated baseline
+    optimizer.
+    """
+    leaves = jax.tree.leaves({k: v for k, v in params["params"].items()
+                              if k != "baseline"})
     return sum(jnp.sum(x * x) for x in leaves)
 
 
