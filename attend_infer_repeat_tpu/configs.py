@@ -30,6 +30,9 @@ class ModelConfig:
     # Network widths [chosen; reference ~256-wide MLPs / LSTM 256, uncertain]
     rnn_hidden: int = 256
     encoder_hidden: Tuple[int, ...] = (256,)
+    # Optional stride-2 conv stem (channel widths) before the encoder MLP
+    # — capability addition for large canvases; () = reference's flat MLP.
+    encoder_conv: Tuple[int, ...] = ()
     glimpse_encoder_hidden: Tuple[int, ...] = (256,)
     decoder_hidden: Tuple[int, ...] = (256,)
     transform_hidden: Tuple[int, ...] = (256,)
@@ -108,6 +111,12 @@ class TrainConfig:
 
     batch_size: int = 64                  # [reconstructed]
     learning_rate: float = 1e-5           # [reconstructed]
+    # Optional cosine decay: lr → lr·lr_end_factor over lr_decay_steps
+    # (reference uses a constant lr; the decay tail is a TPU-regime
+    # robustness addition — late-training REINFORCE noise at high lr is
+    # what keeps unlucky seeds stuck at merged-window optima).
+    lr_decay_steps: Optional[int] = None
+    lr_end_factor: float = 0.1
     momentum: float = 0.9                 # RMSProp momentum [reconstructed]
     baseline_learning_rate: float = 1e-4  # separate NVIL optimizer [chosen]
     l2_weight: float = 0.0                # optional L2 flag [reconstructed]
@@ -140,6 +149,17 @@ class DataConfig:
     min_digits: int = 0
     max_digits: int = 2
     scale_range: Tuple[float, float] = (1.0, 1.0)   # optional digit rescale
+    # Placement mode: "grid" assigns digits to distinct grid cells
+    # (disjoint boxes by construction — the easy counting task);
+    # "uniform" is the reference's distribution (SURVEY §1.4): uniform
+    # in-bounds positions with heavy overlap softly rejected via a fixed
+    # per-slot retry budget — digits may touch/overlap.
+    placement: str = "grid"
+    # "uniform" mode: a candidate position is accepted if its worst IoU
+    # against already-placed digits is ≤ this ("heavy" overlap threshold);
+    # after place_attempts candidates the last one is used regardless.
+    overlap_iou_max: float = 0.25
+    place_attempts: int = 5
     # Digit boxes keep this fraction of their grid cell away from the
     # cell boundary — half the guaranteed gap between digits in adjacent
     # cells.  Raise it (with a smaller digit) to keep digits visually
@@ -201,10 +221,34 @@ PRESETS = {
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True),
+        # cosine lr decay to 0.1× over the run: late-training REINFORCE
+        # noise at full lr is what kept unlucky seeds stuck at ~0.93
+        # (merged-window local optima) in round 1 — the decay tail lets
+        # every seed settle (3-seed table in BASELINE.md).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
-                          n_iters=120_000, log_every=500,
+                          n_iters=150_000, log_every=500,
+                          fig_every=5_000, save_every=5_000),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
+    ),
+    # 2c. Reference-style task difficulty: uniform random placement with
+    # overlap (soft IoU rejection), 20 px digits — digits can touch; AIR's
+    # explain-away must untangle them (SURVEY §1.4/§4.4).  Training recipe
+    # = canonical_fast; where-prior loc tracks the 20/50 digit ratio.
+    "canonical_uniform": _preset(
+        "canonical_uniform",
+        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+                          where_prior_loc=(0.4, 0.4, 0.0, 0.0),
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          isotropic_scale=True),
+        data=DataConfig(digit_size=(20, 20), placement="uniform"),
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          lr_decay_steps=150_000,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
+                          n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),

@@ -47,6 +47,11 @@ class InMemoryDataset:
         ragged tail of each epoch, like the reference's producer)."""
         rng = np.random.default_rng(seed)
         n = len(self.imgs)
+        if batch_size > n:
+            raise ValueError(
+                f"batch_size {batch_size} > dataset size {n}: the "
+                f"tail-dropping iterator would yield nothing and block "
+                f"forever")
         while True:
             order = rng.permutation(n) if shuffle else np.arange(n)
             for lo in range(0, n - batch_size + 1, batch_size):

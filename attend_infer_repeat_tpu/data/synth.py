@@ -64,13 +64,32 @@ def synthesize_batch(key: jax.Array, digit_bank: jax.Array,
     sx = s * dw / cw
     sy = s * dh / ch
 
-    # 3. positions: non-overlapping by construction.  Rejection sampling
-    # is a poor fit for XLA (data-dependent convergence) and is actually
-    # infeasible here (a centered first digit leaves NO disjoint spot for
-    # a second 20 px digit on a 50 px canvas).  Instead: partition the
-    # canvas into a G×G grid, assign each slot a DISTINCT cell via a
-    # per-example random permutation, and jitter the digit inside its
-    # cell.  Boxes stay inside their cells → disjoint across slots.
+    # 3. positions
+    if cfg.placement == "uniform":
+        tx, ty = _uniform_positions(k_pos, sx, sy, cfg)
+    else:
+        tx, ty = _grid_positions(k_pos, sx, sy, cfg, t_slots)
+
+    # 4. paste: glimpse = digit template, z_where = (sx, sy, tx, ty)
+    z_where = jnp.stack([sx, sy, tx, ty], axis=-1)          # (B, T, 4)
+    glimpses = digit_bank[idx]                              # (B, T, dh, dw)
+    pastes = st_paste(glimpses, z_where, (ch, cw))          # (B, T, H, W)
+    imgs = jnp.sum(pastes * present[..., None, None], axis=1)
+    return jnp.clip(imgs, 0.0, 1.0), nums.astype(jnp.int32)
+
+
+def _grid_positions(k_pos: jax.Array, sx: jax.Array, sy: jax.Array,
+                    cfg: DataConfig, t_slots: int):
+    """Disjoint-by-construction placement (the easy counting task).
+
+    Rejection sampling is a poor fit for XLA (data-dependent convergence)
+    and is actually infeasible for large digits (a centered first digit
+    leaves NO disjoint spot for a second 20 px digit on a 50 px canvas).
+    Instead: partition the canvas into a G×G grid, assign each slot a
+    DISTINCT cell via a per-example random permutation, and jitter the
+    digit inside its cell.  Boxes stay inside their cells → disjoint.
+    """
+    batch = sx.shape[0]
     g = _grid_size(t_slots, cfg)
     k_cell, k_jit = jax.random.split(k_pos)
     # distinct cells per example: argsort of iid uniforms = a uniform
@@ -90,15 +109,61 @@ def synthesize_batch(key: jax.Array, digit_bank: jax.Array,
     free_y = jnp.maximum(cell_w / 2 - sy - margin, 0.0)
     u = jax.random.uniform(k_jit, (batch, t_slots, 2), minval=-1.0,
                            maxval=1.0)
-    tx = cx + u[..., 0] * free_x
-    ty = cy + u[..., 1] * free_y
+    return cx + u[..., 0] * free_x, cy + u[..., 1] * free_y
 
-    # 4. paste: glimpse = digit template, z_where = (sx, sy, tx, ty)
-    z_where = jnp.stack([sx, sy, tx, ty], axis=-1)          # (B, T, 4)
-    glimpses = digit_bank[idx]                              # (B, T, dh, dw)
-    pastes = st_paste(glimpses, z_where, (ch, cw))          # (B, T, H, W)
-    imgs = jnp.sum(pastes * present[..., None, None], axis=1)
-    return jnp.clip(imgs, 0.0, 1.0), nums.astype(jnp.int32)
+
+def _pairwise_iou(ax, ay, aw, ah, bx, by, bw, bh):
+    """IoU of axis-aligned boxes given centers and half-extents
+    (broadcasting; normalized [-1, 1] canvas coordinates)."""
+    ix = jnp.maximum(0.0, jnp.minimum(ax + aw, bx + bw)
+                     - jnp.maximum(ax - aw, bx - bw))
+    iy = jnp.maximum(0.0, jnp.minimum(ay + ah, by + bh)
+                     - jnp.maximum(ay - ah, by - bh))
+    inter = ix * iy
+    union = 4.0 * aw * ah + 4.0 * bw * bh - inter
+    return inter / jnp.maximum(union, 1e-8)
+
+
+def _uniform_positions(k_pos: jax.Array, sx: jax.Array, sy: jax.Array,
+                       cfg: DataConfig):
+    """Reference-style placement: uniform in-bounds positions, HEAVY
+    overlap softly rejected (SURVEY §1.4/§4.4 — digits may touch/overlap;
+    AIR's explain-away is what untangles them).
+
+    Static-shape rejection: each slot draws ``place_attempts`` candidate
+    positions and takes the FIRST whose worst IoU against all previously
+    placed slots is ≤ ``overlap_iou_max``; if every candidate overlaps
+    heavily, the last one is used anyway (soft rejection — overlap happens,
+    exactly like host-side rejection with a retry budget).  The slot loop
+    is a Python unroll over ≤ max_digits (static), so the whole generator
+    stays one XLA program.
+    """
+    batch, t_slots = sx.shape
+    n_try = cfg.place_attempts
+    u = jax.random.uniform(k_pos, (batch, t_slots, n_try, 2),
+                           minval=-1.0, maxval=1.0)
+    cand_x = u[..., 0] * jnp.maximum(1.0 - sx, 0.0)[..., None]  # (B, T, R)
+    cand_y = u[..., 1] * jnp.maximum(1.0 - sy, 0.0)[..., None]
+
+    txs, tys = [], []
+    for t in range(t_slots):
+        cx, cy = cand_x[:, t], cand_y[:, t]                  # (B, R)
+        if txs:
+            prev_x = jnp.stack(txs, axis=1)                  # (B, t)
+            prev_y = jnp.stack(tys, axis=1)
+            worst = jnp.max(_pairwise_iou(
+                cx[:, None, :], cy[:, None, :],
+                sx[:, t, None, None], sy[:, t, None, None],
+                prev_x[:, :, None], prev_y[:, :, None],
+                sx[:, :t, None], sy[:, :t, None]), axis=1)   # (B, R)
+            ok = worst <= cfg.overlap_iou_max
+            pick = jnp.where(jnp.any(ok, axis=-1),
+                             jnp.argmax(ok, axis=-1), n_try - 1)
+        else:
+            pick = jnp.zeros((batch,), jnp.int32)
+        txs.append(jnp.take_along_axis(cx, pick[:, None], axis=1)[:, 0])
+        tys.append(jnp.take_along_axis(cy, pick[:, None], axis=1)[:, 0])
+    return jnp.stack(txs, axis=1), jnp.stack(tys, axis=1)
 
 
 def _grid_size(t_slots: int, cfg: DataConfig) -> int:

@@ -28,6 +28,18 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="computation dtype override (params stay f32)")
+    p.add_argument("--st-method", default=None, choices=["xla", "pallas"],
+                   help="spatial-transformer backend override")
+    p.add_argument("--data", default=None, metavar="PATH",
+                   help="train from a reference-format pickle "
+                        "(scripts/create_dataset.py output) instead of "
+                        "on-device synthesis")
+    p.add_argument("--eval-data", default=None, metavar="PATH",
+                   help="validation pickle (with --data; defaults to the "
+                        "training pickle)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--no-checkpoints", action="store_true")
@@ -44,12 +56,22 @@ def main(argv=None):
     if overrides:
         config = dataclasses.replace(
             config, train=dataclasses.replace(config.train, **overrides))
+    model_overrides = {}
+    if args.dtype is not None:
+        model_overrides["dtype"] = args.dtype
+    if args.st_method is not None:
+        model_overrides["st_method"] = args.st_method
+    if model_overrides:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model,
+                                              **model_overrides))
 
     workdir = args.workdir or f"runs/{args.config}"
     train(config, workdir=workdir, n_iters=args.iters,
           resume=not args.no_resume,
           use_tensorboard=not args.no_tensorboard,
-          save_checkpoints=not args.no_checkpoints)
+          save_checkpoints=not args.no_checkpoints,
+          data_path=args.data, eval_data_path=args.eval_data)
 
 
 if __name__ == "__main__":

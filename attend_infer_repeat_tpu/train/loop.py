@@ -30,30 +30,68 @@ from attend_infer_repeat_tpu.train.step import make_eval_step, make_train_step
 
 def train(config: Config | str, workdir: str = "runs/default",
           n_iters: Optional[int] = None, resume: bool = True,
-          use_tensorboard: bool = True, save_checkpoints: bool = True):
+          use_tensorboard: bool = True, save_checkpoints: bool = True,
+          data_path: Optional[str] = None,
+          eval_data_path: Optional[str] = None):
     """Train AIR per ``config``; returns the final ``TrainState``.
 
     Restore-or-init semantics match the reference: if ``workdir`` holds a
     checkpoint and ``resume``, continue from it (anneal position included,
     via the restored step).
+
+    With ``data_path`` (a reference-format ``{'imgs', 'nums'}`` pickle,
+    e.g. from ``scripts/create_dataset.py`` — the reference's primary
+    workflow, SURVEY §4.1) batches stream from host memory through the
+    same jitted step; otherwise canvases are synthesized on-device inside
+    the step.  ``eval_data_path`` optionally holds the validation pickle
+    (defaults to evaluating on ``data_path``'s data).
     """
     if isinstance(config, str):
         config = get_config(config)
     tcfg = config.train
     n_iters = tcfg.n_iters if n_iters is None else n_iters
 
-    # --- data: device-resident digit banks, on-device synthesis ----------
-    train_bank, _ = load_digit_bank(
-        config.data.source, config.data.digit_size, split="train")
-    eval_bank, _ = load_digit_bank(
-        config.data.source, config.data.digit_size, split="eval")
-    eval_synth = make_synth_fn(config.data, eval_bank)
+    # --- data: on-device synthesis (default) or reference pickles --------
+    import jax.numpy as jnp
+
+    from attend_infer_repeat_tpu.data.loader import (
+        InMemoryDataset,
+        load_data,
+    )
+
+    if data_path is not None:
+        train_ds = InMemoryDataset(**{
+            k: v for k, v in load_data(data_path).items()
+            if k in ("imgs", "nums")})
+        ev_blob = load_data(eval_data_path) if eval_data_path \
+            else {"imgs": train_ds.imgs, "nums": train_ds.nums}
+        eval_ds = InMemoryDataset(ev_blob["imgs"], ev_blob["nums"])
+        train_iter = train_ds.batches(tcfg.batch_size, seed=tcfg.seed)
+        train_bank = None
+
+        def eval_synth(key, batch):
+            # deterministic fixed batches from the validation set; the key
+            # only selects which batch (same signature as the synth path)
+            i = int(jax.random.randint(key, (), 0, max(
+                len(eval_ds) // batch, 1)))
+            lo = i * batch
+            return (jnp.asarray(eval_ds.imgs[lo:lo + batch]),
+                    jnp.asarray(eval_ds.nums[lo:lo + batch]))
+
+        sample_imgs = jnp.asarray(train_ds.imgs[:tcfg.batch_size])
+    else:
+        train_iter = None
+        train_bank, _ = load_digit_bank(
+            config.data.source, config.data.digit_size, split="train")
+        eval_bank, _ = load_digit_bank(
+            config.data.source, config.data.digit_size, split="eval")
+        eval_synth = make_synth_fn(config.data, eval_bank)
+        sample_key = jax.random.key(tcfg.seed)
+        sample_imgs, _ = make_synth_fn(config.data, train_bank)(
+            sample_key, tcfg.batch_size)
 
     # --- model + state ----------------------------------------------------
     model = AIRModel(config.model, use_baseline=tcfg.use_baseline)
-    sample_key = jax.random.key(tcfg.seed)
-    sample_imgs, _ = make_synth_fn(config.data, train_bank)(
-        sample_key, tcfg.batch_size)
     state = create_train_state(config, model, sample_imgs)
     # startup banner (reference experiment_tools prints flags + param count)
     print(f"config: {config.name}  model={config.model}  "
@@ -81,7 +119,12 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     start = int(state.step)
     for it in range(start, n_iters):
-        state, metrics = train_step(state)
+        if train_iter is None:
+            state, metrics = train_step(state)
+        else:
+            imgs, nums = next(train_iter)
+            state, metrics = train_step(
+                state, (jnp.asarray(imgs), jnp.asarray(nums)))
 
         step_no = it + 1
         if step_no % tcfg.log_every == 0 or step_no == n_iters:

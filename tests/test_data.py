@@ -82,6 +82,64 @@ def test_synthesize_crowded_config(bank):
     assert int(np.asarray(nums).max()) <= 5
 
 
+def test_uniform_placement_counts_and_ink(bank):
+    """Reference-style uniform placement: counts correct, digits actually
+    land on-canvas (ink scales with count), values in range."""
+    imgs_bank, _ = bank
+    cfg = DataConfig(min_digits=0, max_digits=2, digit_size=(8, 8),
+                     placement="uniform")
+    imgs, nums = synthesize_batch(
+        jax.random.key(11), jnp.asarray(imgs_bank), cfg, 512)
+    arr, n = np.asarray(imgs), np.asarray(nums)
+    assert arr.shape == (512, 50, 50)
+    assert float(arr.min()) >= 0.0 and float(arr.max()) <= 1.0
+    assert np.all(arr[n == 0].sum(axis=(1, 2)) == 0.0)
+    means = [arr[n == k].sum(axis=(1, 2)).mean() for k in (0, 1, 2)]
+    assert means[0] < means[1] < means[2]
+
+
+def test_uniform_placement_rejects_heavy_overlap():
+    """With a generous retry budget, accepted pairs mostly respect the
+    IoU ceiling — but unlike grid mode, digits CAN touch/overlap."""
+    from attend_infer_repeat_tpu.data.synth import _uniform_positions
+
+    cfg = DataConfig(placement="uniform", overlap_iou_max=0.25,
+                     place_attempts=8)
+    B, T = 2048, 2
+    sx = jnp.full((B, T), 0.3)
+    sy = jnp.full((B, T), 0.3)
+    tx, ty = _uniform_positions(jax.random.key(0), sx, sy, cfg)
+    tx, ty = np.asarray(tx), np.asarray(ty)
+    # in-bounds: box stays inside the canvas
+    assert np.all(np.abs(tx) <= 1 - 0.3 + 1e-6)
+    assert np.all(np.abs(ty) <= 1 - 0.3 + 1e-6)
+    # pairwise IoU of the two slots
+    ix = np.maximum(0, np.minimum(tx[:, 0] + .3, tx[:, 1] + .3)
+                    - np.maximum(tx[:, 0] - .3, tx[:, 1] - .3))
+    iy = np.maximum(0, np.minimum(ty[:, 0] + .3, ty[:, 1] + .3)
+                    - np.maximum(ty[:, 0] - .3, ty[:, 1] - .3))
+    inter = ix * iy
+    iou = inter / (2 * 4 * 0.09 - inter)
+    # most pairs below the ceiling; unconstrained uniform would violate
+    # far more often (box IoU>0.25 for ~18% of random pairs at this size)
+    assert (iou > 0.25 + 1e-6).mean() < 0.02, (iou > 0.25).mean()
+    # overlap/touching does occur (this is the harder task, not grid)
+    assert (inter > 0).mean() > 0.05
+
+
+def test_uniform_placement_positions_spread():
+    """Uniform mode must cover the canvas, not quantize to grid cells."""
+    from attend_infer_repeat_tpu.data.synth import _uniform_positions
+
+    cfg = DataConfig(placement="uniform")
+    sx = jnp.full((4096, 1), 0.2)
+    tx, ty = _uniform_positions(jax.random.key(1), sx, sx, cfg)
+    # single digit: positions are exactly uniform on [-0.8, 0.8]
+    for v in (np.asarray(tx)[:, 0], np.asarray(ty)[:, 0]):
+        hist, _ = np.histogram(v, bins=8, range=(-0.8, 0.8))
+        assert hist.min() > 0.5 * hist.mean()
+
+
 def test_make_synth_fn_jits(bank):
     imgs_bank, _ = bank
     synth = make_synth_fn(DataConfig(), imgs_bank)
@@ -114,6 +172,15 @@ def test_inmemory_batches_cover_epoch():
     it = ds.batches(batch_size=5, seed=0)
     seen = np.concatenate([next(it)[1] for _ in range(4)])
     assert sorted(seen.tolist()) == list(range(20))
+
+
+def test_inmemory_batch_too_large_raises():
+    from attend_infer_repeat_tpu.data.loader import InMemoryDataset
+
+    ds = InMemoryDataset(np.zeros((4, 5, 5), np.float32),
+                         np.zeros((4,), np.int32))
+    with pytest.raises(ValueError, match="batch_size"):
+        next(ds.batches(8))
 
 
 def test_mnist_npz_source(tmp_path):

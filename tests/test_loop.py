@@ -11,6 +11,33 @@ from tests.test_train import tiny_config
 import dataclasses
 
 
+def test_train_loop_from_pickle(tmp_path):
+    """The reference's primary workflow (SURVEY §4.1): train from a
+    create_dataset-style pickle through the same loop/CLI plumbing."""
+    import pickle
+
+    import jax
+    import numpy as np
+
+    from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
+
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=4,
+                      save_every=100, eval_batches=1)
+    bank, _ = load_digit_bank("auto", digit_size=cfg.data.digit_size)
+    imgs, nums = make_synth_fn(cfg.data, bank)(jax.random.key(0), 32)
+    path = tmp_path / "train.pickle"
+    with open(path, "wb") as f:
+        pickle.dump({"imgs": np.asarray(imgs), "nums": np.asarray(nums)}, f)
+
+    state = train(cfg, workdir=str(tmp_path / "run"),
+                  use_tensorboard=False, save_checkpoints=False,
+                  data_path=str(path))
+    assert int(state.step) == 4
+    rows = [json.loads(l) for l in
+            open(tmp_path / "run" / "metrics.jsonl")]
+    assert all(np.isfinite(r["elbo"]) for r in rows if "elbo" in r)
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     cfg = tiny_config(n_iters=30, log_every=10, fig_every=30,
