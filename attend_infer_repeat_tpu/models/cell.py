@@ -92,7 +92,7 @@ class AIRCell(nn.Module):
             enc_in = img - jax.lax.stop_gradient(canvas)
         else:
             enc_in = img
-        embed = Encoder(cfg)(enc_in.reshape(batch, -1))
+        embed = Encoder(cfg)(enc_in)
 
         lstm_in = jnp.concatenate([embed, z_what, z_where, z_pres], axis=-1)
         lstm_state, h = nn.OptimizedLSTMCell(cfg.rnn_hidden)(lstm_state,

@@ -42,13 +42,30 @@ class MLP(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Image encoder: flat image → embedding (reference ``modules.py:Encoder``)."""
+    """Image encoder: image → embedding (reference ``modules.py:Encoder``).
+
+    With ``cfg.encoder_conv`` non-empty, a small stride-2 conv stem runs
+    before the MLP — a config-gated capability addition for large
+    canvases (a flat MLP on 100×100 inputs is resolution-starved; convs
+    ride the MXU).  Default (empty) matches the reference's flat MLP.
+    """
 
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, img_flat):
-        return MLP(self.cfg.encoder_hidden, dtype=_dtype(self.cfg))(img_flat)
+    def __call__(self, img):
+        cfg = self.cfg
+        d = _dtype(cfg)
+        batch = img.shape[0]
+        if cfg.encoder_conv:
+            x = img.reshape(batch, *cfg.img_size, 1).astype(d)
+            for feat in cfg.encoder_conv:
+                x = nn.elu(nn.Conv(feat, (3, 3), strides=(2, 2),
+                                   dtype=d)(x))
+            x = x.reshape(batch, -1).astype(jnp.float32)
+        else:
+            x = img.reshape(batch, -1)
+        return MLP(cfg.encoder_hidden, dtype=d)(x)
 
 
 class GaussianHead(nn.Module):

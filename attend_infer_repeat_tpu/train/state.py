@@ -53,8 +53,14 @@ def _param_labels(params) -> Any:
 
 def make_optimizer(cfg: TrainConfig, params) -> optax.GradientTransformation:
     """RMSProp(lr, momentum) on model params; separate lr for the NVIL
-    baseline subtree; optional global-norm clip on the model group."""
-    model_tx = optax.rmsprop(cfg.learning_rate, momentum=cfg.momentum)
+    baseline subtree; optional global-norm clip on the model group;
+    optional cosine lr decay on the model group (baseline lr constant)."""
+    if cfg.lr_decay_steps:
+        lr = optax.cosine_decay_schedule(
+            cfg.learning_rate, cfg.lr_decay_steps, alpha=cfg.lr_end_factor)
+    else:
+        lr = cfg.learning_rate
+    model_tx = optax.rmsprop(lr, momentum=cfg.momentum)
     if cfg.grad_clip_norm is not None:
         model_tx = optax.chain(
             optax.clip_by_global_norm(cfg.grad_clip_norm), model_tx)

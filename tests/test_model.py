@@ -150,6 +150,27 @@ class TestCrowdedConfig:
         assert bool(jnp.isfinite(out.elbo).all())
 
 
+class TestConvStem:
+    def test_forward_with_conv_encoder(self):
+        cfg = ModelConfig(
+            img_size=(28, 28), glimpse_size=(10, 10), max_steps=2,
+            rnn_hidden=16, encoder_hidden=(16,), encoder_conv=(4, 8),
+            glimpse_encoder_hidden=(16,), decoder_hidden=(16,),
+            transform_hidden=(16,), steps_hidden=(8,),
+            baseline_hidden=(16,), n_what=4)
+        model = AIRModel(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (3, 28, 28))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        # conv kernels actually exist in the param tree
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        assert any("Conv" in "".join(str(k) for k in path)
+                   for path, _ in flat)
+        out = model.apply(params, x, jax.random.PRNGKey(3), 0.5)
+        assert out.canvas.shape == (3, 28, 28)
+        assert np.all(np.isfinite(np.asarray(out.elbo)))
+
+
 class TestBfloat16Mode:
     """dtype="bfloat16": matmuls in bf16 (MXU-native), params/outputs f32."""
 
