@@ -1,6 +1,7 @@
 """Tests for the training layer: step, optimizer split, anneal, resume."""
 
 import dataclasses
+import os
 
 import numpy as np
 import jax
@@ -190,6 +191,60 @@ def test_checkpoint_resume_bitwise(tmp_path, setup, bank):
     for a, b in zip(jax.tree.leaves(cont.params),
                     jax.tree.leaves(res_next.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_kill_based_fault_injection_resume(tmp_path):
+    """Real fault injection (SURVEY §6): SIGTERM a training subprocess
+    mid-run, resume it, and require the final state to be bitwise
+    identical to an uninterrupted run's — params, optimizer state, RNG
+    base key, and the anneal position (implied by step)."""
+    import pickle
+    import subprocess
+    import sys
+
+    helper = os.path.join(os.path.dirname(__file__), "helpers",
+                          "train_kill_helper.py")
+    env = dict(os.environ)
+
+    def run(workdir, iters, kill=False, timeout=600):
+        cmd = [sys.executable, helper, "--workdir", str(workdir),
+               "--iters", str(iters)]
+        if kill:
+            cmd.append("--kill-after-first-save")
+        return subprocess.run(cmd, env=env, capture_output=True,
+                              text=True, timeout=timeout)
+
+    n_total = 8
+    # A: uninterrupted run to n_total steps
+    res_a = run(tmp_path / "a", n_total)
+    assert res_a.returncode == 0, res_a.stderr[-2000:]
+
+    # B phase 1: run "forever", watchdog SIGTERMs after the first save
+    res_kill = run(tmp_path / "b", 10**6, kill=True)
+    assert res_kill.returncode != 0, "process was supposed to die mid-run"
+    ckpt_dir = tmp_path / "b" / "ckpt"
+    steps = [int(e) for e in os.listdir(ckpt_dir) if e.isdigit()]
+    assert steps, "no checkpoint survived the kill"
+    if max(steps) > n_total:
+        pytest.skip(f"kill landed after step {max(steps)} (> {n_total}); "
+                    f"host too fast for a meaningful resume window")
+
+    # B phase 2: resume to the same total step count
+    res_b = run(tmp_path / "b", n_total)
+    assert res_b.returncode == 0, res_b.stderr[-2000:]
+
+    with open(tmp_path / "a" / "final_state.pkl", "rb") as f:
+        a = pickle.load(f)
+    with open(tmp_path / "b" / "final_state.pkl", "rb") as f:
+        b = pickle.load(f)
+    assert a["step"] == b["step"] == n_total
+    np.testing.assert_array_equal(a["key_data"], b["key_data"])
+    for tree in ("params", "opt_state"):
+        la, lb = jax.tree.leaves(a[tree]), jax.tree.leaves(b[tree])
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
 def test_eval_step_and_no_param_change(setup, bank):
