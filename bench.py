@@ -24,8 +24,27 @@ _BASELINE_PATH = os.path.join(
     "benchmarks", "baseline_cpu.json")
 
 
+#: TPU v5e peak: 197 TFLOP/s bf16 per chip (the standard MFU denominator;
+#: f32 matmuls run below this, so f32 MFU reported against it is
+#: conservative and survives dtype changes).
+_V5E_PEAK_FLOPS = 197e12
+
+
+def _flops_per_step(step, state) -> float | None:
+    """Compiled-cost FLOPs of one train step (None if unavailable)."""
+    try:
+        cost = step.lower(state).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = cost.get("flops")
+        return float(flops) if flops and flops > 0 else None
+    except Exception:
+        return None
+
+
 def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
-                           batch_size: int | None = None) -> float:
+                           batch_size: int | None = None,
+                           with_flops: bool = False):
     from attend_infer_repeat_tpu.configs import get_config
     from attend_infer_repeat_tpu.data import load_digit_bank
     from attend_infer_repeat_tpu.models.air import AIRModel
@@ -46,6 +65,7 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
     imgs = jnp.zeros((config.train.batch_size,) + config.model.img_size)
     state = create_train_state(config, model, imgs)
     step = make_train_step(config, model, digit_bank=bank)
+    flops = _flops_per_step(step, state) if with_flops else None
 
     for _ in range(n_warmup):
         state, metrics = step(state)
@@ -56,7 +76,10 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         state, metrics = step(state)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
-    return n_timed * config.train.batch_size / dt
+    ips = n_timed * config.train.batch_size / dt
+    if with_flops:
+        return ips, flops
+    return ips
 
 
 def main():
@@ -83,25 +106,35 @@ def main():
         return
 
     if args.batch_size is not None:
-        value = measure_images_per_sec(batch_size=args.batch_size)
+        value, flops = measure_images_per_sec(batch_size=args.batch_size,
+                                              with_flops=True)
+        batch = args.batch_size
     else:
         # Reference regime (batch 64) is dispatch-latency-bound on TPU;
         # the chip's train throughput is the large-batch operating point.
         # Report the best of both; vs_baseline is best-TPU / best-CPU.
-        value = max(measure_images_per_sec(batch_size=64),
-                    measure_images_per_sec(n_warmup=10, n_timed=50,
-                                           batch_size=1024))
+        small = measure_images_per_sec(batch_size=64)
+        big, flops = measure_images_per_sec(n_warmup=10, n_timed=50,
+                                            batch_size=1024,
+                                            with_flops=True)
+        value, batch = max((small, 64), (big, 1024))
     baseline = None
     if os.path.exists(_BASELINE_PATH):
         with open(_BASELINE_PATH) as f:
             baseline = json.load(f).get("cpu_images_per_sec")
     vs = value / baseline if baseline else None
-    print(json.dumps({
+    record = {
         "metric": "canonical train-step throughput (multi-MNIST images/sec/chip)",
         "value": round(value, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if flops:
+        # model FLOPs utilization: achieved FLOP/s over the v5e bf16 peak
+        record["flops_per_image"] = round(flops / batch)
+        record["mfu_pct"] = round(
+            100.0 * flops / batch * value / _V5E_PEAK_FLOPS, 3)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

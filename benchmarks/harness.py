@@ -79,6 +79,47 @@ def bench_train(batch_sizes=(64, 256, 1024)):
                  "images_per_sec": bs / dt})
 
 
+def bench_train_st(batch_sizes=(256, 1024, 4096)):
+    """Full canonical train step with st_method='xla' vs 'pallas' — the
+    decision benchmark for which ST backend is the default (the kernel
+    micro-benchmark alone doesn't settle it; VERDICT r1 weak #5)."""
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+
+    base = get_config("canonical")
+    bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
+    methods = ["xla"]
+    if jax.devices()[0].platform != "cpu":
+        methods.append("pallas")
+    for bs in batch_sizes:
+        for method in methods:
+            config = dataclasses.replace(
+                base,
+                model=dataclasses.replace(base.model, st_method=method),
+                train=dataclasses.replace(base.train, batch_size=bs))
+            model = AIRModel(config.model)
+            imgs = jnp.zeros((bs,) + config.model.img_size)
+            state = create_train_state(config, model, imgs)
+            step = make_train_step(config, model, digit_bank=bank)
+
+            state_box = [state]
+
+            def run():
+                s, m = step(state_box[0])
+                state_box[0] = s
+                return m
+
+            dt = _time_fn(run)
+            _record({"bench": "train_step_st", "config": "canonical",
+                     "st_method": method, "batch_size": bs,
+                     "step_ms": dt * 1e3, "images_per_sec": bs / dt})
+
+
 def bench_serving(batch_sizes=(256, 1024, 4096, 8192)):
     from attend_infer_repeat_tpu.configs import get_config
     from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
@@ -137,7 +178,8 @@ def main():
     from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     p = argparse.ArgumentParser()
-    p.add_argument("what", choices=["train", "serving", "st", "all"])
+    p.add_argument("what",
+                   choices=["train", "serving", "st", "train_st", "all"])
     args = p.parse_args()
     if args.what in ("train", "all"):
         bench_train()
@@ -145,6 +187,8 @@ def main():
         bench_serving()
     if args.what in ("st", "all"):
         bench_st()
+    if args.what in ("train_st", "all"):
+        bench_train_st()
 
 
 if __name__ == "__main__":

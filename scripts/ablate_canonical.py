@@ -1,0 +1,85 @@
+"""Controlled ablation of the reference training regime (VERDICT r1 #2).
+
+Round 1 found the literal reconstructed reference regime (batch 64,
+RMSProp lr 1e-5, 4-dim z_where, no explore floor, output_std 0.3, scale
+prior 0.05) stalls below chance at 221k steps, while the TPU-native
+``canonical_fast`` recipe trains.  This script isolates WHICH
+reconstructed hyperparameters are the unrecoverable ones by
+interpolating between the two regimes at the reference's own operating
+point (batch 64, lr 1e-5 held fixed):
+
+  ref        — the literal reconstruction (round-1 `canonical`)
+  ref+prior  — + the generative-prior fixes only (output_std 0.15,
+               isotropic scale prior 0.03): tests whether the failure is
+               merge economics (a generative-model reconstruction error),
+               not the optimization regime
+  ref+expl   — + explore_eps 0.05 only: tests whether the failure is
+               presence saturation starving REINFORCE
+  ref+both   — + both groups (still batch 64 / lr 1e-5 / no clip / no
+               KL warmup)
+  ref+fast   — + both + grad clip 100 + KL warmup: the full
+               canonical_fast trickery at the reference operating point
+
+Usage (one variant per TPU process — serialize!):
+    python scripts/ablate_canonical.py --variant ref+prior --iters 150000
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from attend_infer_repeat_tpu.configs import get_config
+
+
+def make_variant(name: str):
+    cfg = get_config("canonical")
+
+    prior_fix = dict(output_std=0.15,
+                     where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                     isotropic_scale=True)
+    explore_fix = dict(explore_eps=0.05)
+
+    model_kw = {}
+    train_kw = {}
+    if name == "ref":
+        pass
+    elif name == "ref+prior":
+        model_kw.update(prior_fix)
+    elif name == "ref+expl":
+        model_kw.update(explore_fix)
+    elif name == "ref+both":
+        model_kw.update(prior_fix)
+        model_kw.update(explore_fix)
+    elif name == "ref+fast":
+        model_kw.update(prior_fix)
+        model_kw.update(explore_fix)
+        train_kw.update(grad_clip_norm=100.0, kl_warmup_steps=50_000)
+    else:
+        raise SystemExit(f"unknown variant {name!r}")
+
+    return dataclasses.replace(
+        cfg,
+        name=f"canonical_ablate_{name}",
+        model=dataclasses.replace(cfg.model, **model_kw),
+        train=dataclasses.replace(cfg.train, **train_kw))
+
+
+def main():
+    from attend_infer_repeat_tpu.train.loop import train
+    from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", required=True)
+    p.add_argument("--iters", type=int, default=150_000)
+    p.add_argument("--workdir", default=None)
+    args = p.parse_args()
+
+    cfg = make_variant(args.variant)
+    workdir = args.workdir or f"runs/ablate_{args.variant.replace('+', '_')}"
+    train(cfg, workdir=workdir, n_iters=args.iters, use_tensorboard=False)
+
+
+if __name__ == "__main__":
+    main()
