@@ -24,9 +24,10 @@ import jax
 # (same pattern as tests/conftest.py; must run before any backend use).
 jax.config.update("jax_platforms", "cpu")
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), os.pardir))
+# tests/ (for test_train's tiny_config) and the repo root (for the package)
+_here = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_here, os.pardir))
+sys.path.insert(0, os.path.join(_here, os.pardir, os.pardir))
 
 
 def _watch_and_kill(ckpt_dir: str):
