@@ -85,6 +85,25 @@ def test_gather_grads_match_xla_path():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("batch", [3, 17])
+def test_gather_grads_padded_blocks(batch):
+    """The fused backward kernel must honor the block-padding path too."""
+    key = jax.random.key(batch + 100)
+    img = jax.random.uniform(key, (batch, 30, 30))
+    zw = random_wheres(jax.random.fold_in(key, 1), batch)
+    cot = jax.random.normal(jax.random.fold_in(key, 2), (batch, 12, 12))
+
+    _, vjp_pal = jax.vjp(
+        lambda i, z: st_gather_pallas(i, z, (12, 12), 8, True), img, zw)
+    _, vjp_ref = jax.vjp(
+        lambda i, z: st_gather(i, z, (12, 12)), img, zw)
+    for a, b in zip(vjp_pal(cot), vjp_ref(cot)):
+        # f32 accumulation order differs between the fused kernel and the
+        # einsum reference; the z_where grads sum O(out·in) products
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_gather_jits():
     img = jnp.ones((8, 50, 50))
     zw = jnp.tile(jnp.array([0.5, 0.5, 0.0, 0.0]), (8, 1))
