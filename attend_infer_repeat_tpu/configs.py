@@ -62,6 +62,16 @@ class ModelConfig:
     # merge-two-stacked-digits-in-one-tall-window optimum — the residual
     # failure mode at ~0.93 accuracy (every error was a vertical merge).
     isotropic_scale: bool = False
+    # Hard cap on the attention-window scale, applied ONLY where z_where
+    # parameterizes the spatial transformer (gradient-preserving clip; the
+    # posterior/KL stay on the raw Gaussian).  The merged-window local
+    # optimum — one big window painting two digits with a perfect
+    # reconstruction, which REINFORCE exploration cannot escape because a
+    # freshly sampled extra step only adds canvas noise — simply does not
+    # exist when the window physically cannot cover two digits.  Set it
+    # between the digit scale and twice the minimum digit-center spacing;
+    # None = reference behavior (unconstrained).
+    max_scale: Optional[float] = None
 
     # Presence predictor: positive initial logit bias so the model starts
     # by taking steps (explore), with the annealed geometric prior pruning

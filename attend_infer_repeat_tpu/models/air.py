@@ -168,7 +168,7 @@ class AIRModel(nn.Module):
         pres = (step_idx[None, :] < n[:, None]).astype(jnp.float32)
 
         from attend_infer_repeat_tpu.models.modules import (
-            expand_where, where_param_indices)
+            expand_where, st_where, where_param_indices)
         z_what = jax.random.normal(k_what, (batch, t_steps, cfg.n_what))
         w_idx = where_param_indices(cfg)
         loc = jnp.asarray([cfg.where_prior_loc[i] for i in w_idx])
@@ -178,6 +178,6 @@ class AIRModel(nn.Module):
         z_where = expand_where(cfg, z_w)
 
         glimpses = self.decoder(z_what)
-        canvases = st_paste(glimpses, z_where, cfg.img_size)
+        canvases = st_paste(glimpses, st_where(cfg, z_where), cfg.img_size)
         return jnp.sum(canvases * pres[..., None, None],
                        axis=1) * cfg.output_multiplier

@@ -36,6 +36,7 @@ from attend_infer_repeat_tpu.models.modules import (
     StepsPredictor,
     StochasticTransformParam,
     expand_where,
+    st_where,
 )
 from attend_infer_repeat_tpu.ops.spatial_transformer import st_gather, st_paste
 
@@ -103,7 +104,7 @@ class AIRCell(nn.Module):
             k_where, where_loc.shape)
         z_where = expand_where(cfg, z_w)   # 4-dim affine for the ST
 
-        glimpse = st_gather(img, z_where, cfg.glimpse_size,
+        glimpse = st_gather(img, st_where(cfg, z_where), cfg.glimpse_size,
                             method=cfg.st_method)
         what_loc, what_scale = GlimpseEncoder(cfg)(
             glimpse.reshape(batch, -1))
@@ -131,7 +132,7 @@ class AIRCell(nn.Module):
         decoder = self.decoder if self.decoder is not None \
             else GlimpseDecoder(cfg)
         glimpse_out = decoder(z_what)                   # (B, gh, gw)
-        paste = st_paste(glimpse_out, z_where, cfg.img_size,
+        paste = st_paste(glimpse_out, st_where(cfg, z_where), cfg.img_size,
                          method=cfg.st_method)
         canvas = canvas + z_pres[..., None] * paste
 

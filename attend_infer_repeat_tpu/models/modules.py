@@ -124,6 +124,24 @@ def expand_where(cfg: ModelConfig, z_w):
     return z_w
 
 
+def st_where(cfg: ModelConfig, z_where):
+    """z_where as consumed by the spatial transformer.
+
+    With ``cfg.max_scale`` set, the scale components are hard-capped with
+    a gradient-preserving clip — the window physically cannot grow to
+    cover two objects, which deletes the merged-window local optimum (see
+    the ``max_scale`` config note).  The posterior, its KL, and the
+    recorded sample stay on the RAW Gaussian; only the transformer
+    geometry is constrained.
+    """
+    if cfg.max_scale is None:
+        return z_where
+    from attend_infer_repeat_tpu.ops.math import clip_preserve
+
+    s = clip_preserve(z_where[..., :2], -jnp.inf, cfg.max_scale)
+    return jnp.concatenate([s, z_where[..., 2:]], axis=-1)
+
+
 class GlimpseEncoder(nn.Module):
     """Flat glimpse → q(z_what) parameters (reference glimpse encoder +
     ``ParametrisedGaussian`` head)."""

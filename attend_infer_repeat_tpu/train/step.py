@@ -102,6 +102,11 @@ def make_train_step(config: Config, model, digit_bank=None,
         metrics["count_accuracy_mode"] = count_accuracy(
             outputs, nums, use_mode=True)
         metrics["grad_norm"] = optax.global_norm(grads)
+        # per-module gradient norms (reference eval_tools wrote gradient
+        # summaries — SURVEY §3 #10): the AIR debugging signal for "which
+        # subtree stopped learning" (e.g. a starved steps predictor).
+        for name, sub in grads["params"].items():
+            metrics[f"grad_norm/{name}"] = optax.global_norm(sub)
         metrics["prior_success_prob"] = p_success
         new_state = state.replace(
             step=state.step + 1, params=params, opt_state=opt_state)

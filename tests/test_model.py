@@ -150,6 +150,38 @@ class TestCrowdedConfig:
         assert bool(jnp.isfinite(out.elbo).all())
 
 
+class TestMaxScale:
+    def test_st_where_caps_scale_only(self):
+        from attend_infer_repeat_tpu.models.modules import st_where
+
+        cfg = ModelConfig(max_scale=0.5)
+        zw = jnp.array([[0.9, 0.3, 2.0, -2.0]])
+        out = st_where(cfg, zw)
+        np.testing.assert_allclose(np.asarray(out[0]),
+                                   [0.5, 0.3, 2.0, -2.0])
+        # gradient passes through the clip (clip_preserve semantics)
+        g = jax.grad(lambda z: jnp.sum(st_where(cfg, z)))(zw)
+        np.testing.assert_allclose(np.asarray(g), 1.0)
+        # None = identity
+        cfg2 = ModelConfig()
+        np.testing.assert_array_equal(np.asarray(st_where(cfg2, zw)),
+                                      np.asarray(zw))
+
+    def test_model_runs_with_max_scale(self):
+        cfg = ModelConfig(
+            img_size=(14, 14), glimpse_size=(6, 6), n_what=4, max_steps=2,
+            rnn_hidden=16, encoder_hidden=(16,),
+            glimpse_encoder_hidden=(16,), decoder_hidden=(16,),
+            transform_hidden=(16,), steps_hidden=(8,),
+            baseline_hidden=(16,), isotropic_scale=True, max_scale=0.55)
+        model = AIRModel(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 14, 14))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        out = model.apply(params, x, jax.random.PRNGKey(3), 0.5)
+        assert np.all(np.isfinite(np.asarray(out.elbo)))
+
+
 class TestConvStem:
     def test_forward_with_conv_encoder(self):
         cfg = ModelConfig(
