@@ -28,6 +28,10 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from attend_infer_repeat_tpu.configs import get_config
 
