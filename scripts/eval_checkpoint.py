@@ -48,9 +48,28 @@ def main():
     p.add_argument("--train-seed", type=int, default=None,
                    help="seed override used when the run was trained "
                         "(affects only the state template)")
+    p.add_argument("--model-set", action="append", metavar="KEY=VALUE",
+                   help="ModelConfig overrides matching the trained "
+                        "variant (same syntax as run_variant.py)")
+    p.add_argument("--data-set", action="append", metavar="KEY=VALUE")
     args = p.parse_args()
 
+    import ast
+
+    def _apply(section, sets):
+        kw = {}
+        for item in sets or []:
+            k, _, v = item.partition("=")
+            k = k.strip()
+            if k not in {f.name for f in dataclasses.fields(section)}:
+                raise SystemExit(
+                    f"{type(section).__name__} has no field {k!r}")
+            kw[k] = ast.literal_eval(v)
+        return dataclasses.replace(section, **kw) if kw else section
+
     cfg = get_config(args.config)
+    cfg = dataclasses.replace(cfg, model=_apply(cfg.model, args.model_set),
+                              data=_apply(cfg.data, args.data_set))
     if args.train_seed is not None:
         cfg = dataclasses.replace(
             cfg, train=dataclasses.replace(cfg.train, seed=args.train_seed))
