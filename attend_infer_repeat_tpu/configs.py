@@ -228,13 +228,21 @@ PRESETS = {
         # oversized window itself costly — together they break the
         # merge-two-digits local optimum (0.67 → 0.80 count accuracy in
         # the 30k-step sweep).
+        # max_scale=0.45 [probed r2]: the KL prices above make a merged
+        # window EXPENSIVE (~150 nats) but gradient descent still cannot
+        # leave one once formed (the residual after a merged window is
+        # zero, so a freshly explored extra step paints nothing and gets
+        # pruned) — ~18-20% of 2-digit scenes ended merged regardless of
+        # seed (0.93 plateau, flat from step 500).  The hard cap removes
+        # the optimum itself: a 0.45-scale window physically cannot span
+        # two grid-separated digits (min merged span ≥ 0.76), so the
+        # model decomposes from the first steps — 0.982 mode accuracy at
+        # 40k (ELBO unchanged; runs/probe_maxscale045).
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True),
-        # cosine lr decay to 0.1× over the run: late-training REINFORCE
-        # noise at full lr is what kept unlucky seeds stuck at ~0.93
-        # (merged-window local optima) in round 1 — the decay tail lets
-        # every seed settle (3-seed table in BASELINE.md).
+                          isotropic_scale=True, max_scale=0.45),
+        # cosine lr decay to 0.1× over the run: settles late-training
+        # REINFORCE noise (robustness tail; the merge fix is max_scale).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
@@ -249,10 +257,13 @@ PRESETS = {
     # = canonical_fast; where-prior loc tracks the 20/50 digit ratio.
     "canonical_uniform": _preset(
         "canonical_uniform",
+        # max_scale=0.55: one 20 px digit (scale 0.4) fits with slack;
+        # spanning two separated digits does not.  Genuinely overlapping
+        # digits still fit one window — that ambiguity is the task.
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_loc=(0.4, 0.4, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True),
+                          isotropic_scale=True, max_scale=0.55),
         data=DataConfig(digit_size=(20, 20), placement="uniform"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
@@ -267,11 +278,14 @@ PRESETS = {
     # (16/100) and the scan runs 5 steps.
     "crowded": _preset(
         "crowded",
+        # max_scale=0.3: 16 px digits on the 100 px canvas are scale
+        # 0.16; the min two-digit merged span is ≥ 0.4 (adjacent G=3
+        # grid cells), so 0.3 blocks merges with 2× slack for the digit.
         model=ModelConfig(img_size=(100, 100), max_steps=5,
                           explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           where_prior_loc=(0.16, 0.16, 0.0, 0.0),
-                          isotropic_scale=True),
+                          isotropic_scale=True, max_scale=0.3),
         data=DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5),
         train=TrainConfig(batch_size=512, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
@@ -288,7 +302,7 @@ PRESETS = {
         "iwae",
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True),
+                          isotropic_scale=True, max_scale=0.45),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,

@@ -43,6 +43,10 @@ def make_variant(name: str):
                      where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                      isotropic_scale=True)
     explore_fix = dict(explore_eps=0.05)
+    # the round-2 merge killer: hard cap on the attention-window scale
+    # (see configs.py canonical_fast note; probed to fix the 0.93
+    # plateau at the TPU operating point)
+    cap_fix = dict(max_scale=0.45)
 
     model_kw = {}
     train_kw = {}
@@ -52,12 +56,19 @@ def make_variant(name: str):
         model_kw.update(prior_fix)
     elif name == "ref+expl":
         model_kw.update(explore_fix)
+    elif name == "ref+cap":
+        model_kw.update(cap_fix)
     elif name == "ref+both":
         model_kw.update(prior_fix)
         model_kw.update(explore_fix)
     elif name == "ref+fast":
         model_kw.update(prior_fix)
         model_kw.update(explore_fix)
+        train_kw.update(grad_clip_norm=100.0, kl_warmup_steps=50_000)
+    elif name == "ref+all":
+        model_kw.update(prior_fix)
+        model_kw.update(explore_fix)
+        model_kw.update(cap_fix)
         train_kw.update(grad_clip_norm=100.0, kl_warmup_steps=50_000)
     else:
         raise SystemExit(f"unknown variant {name!r}")
