@@ -13,7 +13,7 @@ run_one() {
 }
 
 # --- canonical-regime ablation (batch 64, lr 1e-5 held fixed) ----------
-for v in ref ref+prior ref+expl ref+both ref+fast; do
+for v in ref ref+prior ref+expl ref+cap ref+both ref+fast ref+all; do
   run_one "ablate_${v//+/_}" python scripts/ablate_canonical.py \
     --variant "$v" --iters 150000
 done
