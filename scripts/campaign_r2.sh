@@ -1,7 +1,7 @@
 #!/bin/bash
-# Round-2 measurement campaign, phase 1: quality runs (serialized — one
-# TPU process at a time).  Each run logs to runs/<name>.log; final
-# held-out evaluation via scripts/eval_checkpoint.py appended to the log.
+# Round-2 measurement campaign, phase 1 (v2 — max_scale recipe):
+# 3-seed canonical_fast + reference-style uniform placement, each with a
+# 16k-image held-out evaluation.  Serialized — one TPU process at a time.
 cd /root/repo || exit 1
 mkdir -p runs
 
@@ -12,24 +12,17 @@ run_one() {
   echo "rc=$? ($(date +%H:%M:%S))"
 }
 
-run_one cf_seed0 python scripts/run_variant.py --config canonical_fast \
-  --workdir runs/cf_seed0 --train-set "seed=0"
-run_one cf_seed0_eval python scripts/eval_checkpoint.py --config canonical_fast \
-  --workdir runs/cf_seed0 --train-seed 0 --batches 16
-
-run_one cf_seed1 python scripts/run_variant.py --config canonical_fast \
-  --workdir runs/cf_seed1 --train-set "seed=1"
-run_one cf_seed1_eval python scripts/eval_checkpoint.py --config canonical_fast \
-  --workdir runs/cf_seed1 --train-seed 1 --batches 16
-
-run_one cf_seed2 python scripts/run_variant.py --config canonical_fast \
-  --workdir runs/cf_seed2 --train-set "seed=2"
-run_one cf_seed2_eval python scripts/eval_checkpoint.py --config canonical_fast \
-  --workdir runs/cf_seed2 --train-seed 2 --batches 16
+for s in 0 1 2; do
+  run_one cfv2_seed$s python scripts/run_variant.py --config canonical_fast \
+    --workdir runs/cfv2_seed$s --train-set "seed=$s" --iters 60000
+  run_one cfv2_seed${s}_eval python scripts/eval_checkpoint.py \
+    --config canonical_fast --workdir runs/cfv2_seed$s --train-seed $s \
+    --batches 16
+done
 
 run_one uniform python scripts/run_variant.py --config canonical_uniform \
   --workdir runs/uniform_r2
-run_one uniform_eval python scripts/eval_checkpoint.py --config canonical_uniform \
-  --workdir runs/uniform_r2 --batches 16
+run_one uniform_eval python scripts/eval_checkpoint.py \
+  --config canonical_uniform --workdir runs/uniform_r2 --batches 16
 
 echo "=== phase 1 done ($(date +%H:%M:%S)) ==="
