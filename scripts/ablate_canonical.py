@@ -58,6 +58,18 @@ def make_variant(name: str):
         model_kw.update(explore_fix)
     elif name == "ref+cap":
         model_kw.update(cap_fix)
+    elif name == "ref+anneal":
+        # everything literal except a slower, gentler prior anneal: tests
+        # whether the [uncertain] reconstructed anneal schedule (to 1e-5
+        # success over 100k steps) is what kills the reference regime —
+        # at lr 1e-5 / batch 64 the decoder cannot yet explain digits
+        # when steps get priced out, presence collapses to E[n]=0, and
+        # REINFORCE cannot revive saturated-off chains.
+        return dataclasses.replace(
+            cfg, name="canonical_ablate_ref_anneal",
+            prior=dataclasses.replace(
+                cfg.prior, final_success_prob=1e-2,
+                anneal_start=20_000, anneal_steps=400_000))
     elif name == "ref+both":
         model_kw.update(prior_fix)
         model_kw.update(explore_fix)

@@ -12,6 +12,17 @@ run_one() {
   echo "rc=$? ($(date +%H:%M:%S))"
 }
 
+# crowded rerun without the (collapse-inducing) window cap — replaces
+# the killed runs/crowded_r2; floor-free eval vs round-1's 0.84
+run_one crowded_nocap python scripts/run_variant.py --config crowded \
+  --workdir runs/crowded_nocap
+run_one crowded_nocap_eval python scripts/eval_checkpoint.py \
+  --config crowded --workdir runs/crowded_nocap --batch-size 512 --batches 16
+
+# late-added ablation: slower anneal at the literal reference regime
+run_one ablate_ref_anneal python scripts/ablate_canonical.py \
+  --variant ref+anneal --iters 150000
+
 run_one bench_train_st python -m benchmarks.harness train_st
 run_one bench_st python -m benchmarks.harness st
 run_one bench_train python -m benchmarks.harness train
