@@ -213,8 +213,20 @@ PRESETS = {
         prior=PriorAnnealConfig(final_success_prob=0.5,
                                 anneal_start=1_000, anneal_steps=10_000),
     ),
-    # 2. Canonical paper setup: 0–2 digits, 50×50, 3 steps.
-    "canonical": _preset("canonical"),
+    # 2. Canonical paper setup: 0–2 digits, 50×50, 3 steps, at the
+    # reference's own operating point (batch 64, RMSProp lr 1e-5, 4-dim
+    # z_where, no window cap, no KL warmup).  One deliberate flip from
+    # the literal reconstruction: explore_eps=0.05 — an option the
+    # reference's cell.py itself exposes [its default is uncertain].
+    # The round-2 ablation (PARITY.md, runs/ablate_*) shows it is the
+    # single load-bearing knob at this operating point: without the
+    # floor the presence chain saturates off while the decoder is still
+    # too weak to explain digits, the annealed prior prices steps out,
+    # and REINFORCE can never revive a chain it never samples
+    # (ref: accuracy 0.291, E[n]→0; ref+expl: 0.916 at 150k).
+    "canonical": _preset(
+        "canonical",
+        model=ModelConfig(explore_eps=0.05)),
     # 2b. TPU-native training regime for the canonical task: large batch
     # (REINFORCE variance ∝ 1/batch; batch 1024 is ~free on a v5e) with
     # proportionally larger learning rates and a faster prior anneal.
@@ -278,14 +290,20 @@ PRESETS = {
     # (16/100) and the scan runs 5 steps.
     "crowded": _preset(
         "crowded",
-        # max_scale=0.3: 16 px digits on the 100 px canvas are scale
-        # 0.16; the min two-digit merged span is ≥ 0.4 (adjacent G=3
-        # grid cells), so 0.3 blocks merges with 2× slack for the digit.
+        # NO max_scale cap here [measured r2]: on the sparse 100×100
+        # canvas a capped (≤2× digit) exploratory window covers ~2.5% of
+        # the canvas, so a freshly explored step almost never lands on
+        # ink, never becomes profitable, and the annealed prior prices
+        # all steps out (E[n]→0 collapse at 35k, runs/crowded_r2 with a
+        # 0.3 cap).  Early OVERSIZED windows are how AIR bootstraps on
+        # sparse scenes — they grab ink, then shrink as the scale prior
+        # bites.  The cap is a dense-canvas tool (canonical: digits fill
+        # the scene, any window sees ink).
         model=ModelConfig(img_size=(100, 100), max_steps=5,
                           explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           where_prior_loc=(0.16, 0.16, 0.0, 0.0),
-                          isotropic_scale=True, max_scale=0.3),
+                          isotropic_scale=True),
         data=DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5),
         train=TrainConfig(batch_size=512, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
