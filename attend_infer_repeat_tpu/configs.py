@@ -137,6 +137,12 @@ class TrainConfig:
 
     kl_warmup_steps: int = 0              # β: 0→1 over this many steps (0=off)
 
+    # Per-module gradient-norm metrics (grad_norm/<module>) every step.
+    # Debugging observability (which subtree stopped learning); costs a
+    # measured ~1.4 ms/step of small unfusable reductions, so off by
+    # default — the aggregate grad_norm is always logged.
+    log_grad_norms: bool = False
+
     log_every: int = 1_000
     fig_every: int = 10_000
     save_every: int = 10_000
