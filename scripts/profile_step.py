@@ -68,8 +68,12 @@ def main():
             timer.stop(metrics)
 
     ips = timer.images_per_sec(config.train.batch_size)
-    print(f"steady-state: {timer.mean_s * 1e3:.2f} ms/step, "
-          f"{ips:,.0f} images/sec (batch {config.train.batch_size})")
+    # NOTE: per-step device sync + active profiler capture — NOT a
+    # throughput number (bench.py pipelines dispatch and is the
+    # authoritative images/sec source).
+    print(f"per-step-synced under trace: {timer.mean_s * 1e3:.2f} ms/step, "
+          f"{ips:,.0f} images/sec (batch {config.train.batch_size}; "
+          "see bench.py for real throughput)")
     print(f"trace written to {args.logdir} "
           "(view: tensorboard --logdir <dir>, Profile tab)")
 
