@@ -99,6 +99,14 @@ class ModelConfig:
     # float32 either way.
     dtype: str = "float32"
 
+    # Rematerialize the scanned cell in the backward pass
+    # (``jax.checkpoint`` via ``nn.remat``): recompute each object step's
+    # activations instead of saving them to HBM.  The train step is
+    # measured HBM-bandwidth-bound at ~3-4% MFU (bench.py roofline), so
+    # trading recompute FLOPs for HBM traffic is the right direction on
+    # TPU; gate stays off by default pending the measured win.
+    remat: bool = False
+
 
 @dataclasses.dataclass(frozen=True)
 class PriorAnnealConfig:
@@ -136,6 +144,20 @@ class TrainConfig:
     seed: int = 0
 
     kl_warmup_steps: int = 0              # β: 0→1 over this many steps (0=off)
+
+    # Hot-loop dispatch amortization: run this many train steps inside ONE
+    # jitted ``lax.scan`` per Python-level iteration (1 = plain per-step
+    # dispatch).  The per-step host↔device dispatch latency (~0.9 ms on
+    # this host) dominates small-batch steps; scanning K steps into one
+    # XLA program pays it once per K.  Only the on-device-synthesis data
+    # path supports it (the pickle path feeds batches from host per step).
+    # log/fig/save intervals must be multiples of scan_steps.
+    scan_steps: int = 1
+
+    # In-loop IWAE evaluation: if > 0, every log interval also computes
+    # the k-particle importance-weighted bound (eval.make_iwae_eval_step)
+    # on one eval batch and logs it as ``iwae/*`` (BASELINE config 4).
+    iwae_eval_particles: int = 0
 
     # Per-module gradient-norm metrics (grad_norm/<module>) every step.
     # Debugging observability (which subtree stopped learning); costs a
@@ -318,12 +340,59 @@ PRESETS = {
                           fig_every=5_000, save_every=5_000),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
-    # 4. IWAE k=5 eval bound + NVIL-baseline ablation: same task/recipe
-    # as canonical_fast but without the learned baseline (score-function
-    # gradients centered only by stop-grad of the signal) — the ablation
-    # measures what NVIL buys.  Evaluate with eval.make_iwae_eval_step.
+    # 2d. Reference-exact digit geometry (VERDICT r2 #2): ~28 px MNIST-
+    # sized digits, rescaled per digit (SURVEY §1.4 "each ~28×28,
+    # possibly rescaled"), uniform placement.  28+28 > 50, so two-digit
+    # scenes CANNOT avoid overlap — the reference's hard regime; the soft
+    # IoU rejection only avoids near-total occlusion.
+    "canonical_uniform28": _preset(
+        "canonical_uniform28",
+        # where-prior loc tracks the mean rescaled half-extent
+        # (0.95 × 28/50 ≈ 0.53); prior std 0.08 covers the 0.39–0.67
+        # half-extent spread the per-digit rescale produces (the tight
+        # 0.03 std of the fixed-scale presets would fight the data).
+        # max_scale=0.8: the largest digit (scale 1.2 → 0.67) fits; a
+        # window spanning two side-by-side digits (≥ ~0.9) does not.
+        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+                          where_prior_loc=(0.53, 0.53, 0.0, 0.0),
+                          where_prior_scale=(0.08, 0.08, 1.0, 1.0),
+                          isotropic_scale=True, max_scale=0.8),
+        data=DataConfig(digit_size=(28, 28), scale_range=(0.7, 1.2),
+                        placement="uniform"),
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          lr_decay_steps=150_000,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
+                          n_iters=150_000, log_every=500,
+                          fig_every=5_000, save_every=5_000),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
+    ),
+    # 4. IWAE k=5 (BASELINE config 4): canonical_fast task/recipe with
+    # the NVIL baseline ON, periodically logging the k=5 importance-
+    # weighted bound from inside the training loop (iwae_eval_particles).
     "iwae": _preset(
         "iwae",
+        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+                          where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                          isotropic_scale=True, max_scale=0.45),
+        train=TrainConfig(batch_size=1024, learning_rate=1e-4,
+                          lr_decay_steps=150_000,
+                          baseline_learning_rate=1e-3,
+                          grad_clip_norm=100.0, kl_warmup_steps=15_000,
+                          n_iters=150_000, log_every=500,
+                          fig_every=5_000, save_every=5_000,
+                          iwae_eval_particles=5),
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
+    ),
+    # 4b. NVIL-baseline ablation (the other half of BASELINE config 4):
+    # same recipe WITHOUT the learned baseline — score-function gradients
+    # centered only by stop-grad of the signal.  This preset's collapse
+    # IS the finding (runs/iwae_r2: 0.77 count accuracy at 59k steps,
+    # then all-steps-on and accuracy 0 by 120k — the input-dependent
+    # baseline's variance reduction is what keeps late annealed-prior
+    # training stable).  An ablation artifact by design, not a trainer.
+    "no_nvil": _preset(
+        "no_nvil",
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45),

@@ -37,11 +37,15 @@ from attend_infer_repeat_tpu.ops.spatial_transformer import st_paste
 
 
 def synthesize_batch(key: jax.Array, digit_bank: jax.Array,
-                     cfg: DataConfig, batch: int):
+                     cfg: DataConfig, batch: int,
+                     return_meta: bool = False):
     """Generate a batch of canvases.
 
     ``digit_bank (N, dh, dw)`` float32 in [0,1] (device-resident).
-    Returns ``(imgs (batch, H, W) float32, nums (batch,) int32)``.
+    Returns ``(imgs (batch, H, W) float32, nums (batch,) int32)``; with
+    ``return_meta`` also a dict of per-slot placement geometry
+    (normalized half-extents ``sx``/``sy``, centers ``tx``/``ty``,
+    ``present`` mask) for analysis (scripts/characterize_overlap.py).
     """
     ch, cw = cfg.canvas_size
     dh, dw = cfg.digit_size
@@ -75,7 +79,12 @@ def synthesize_batch(key: jax.Array, digit_bank: jax.Array,
     glimpses = digit_bank[idx]                              # (B, T, dh, dw)
     pastes = st_paste(glimpses, z_where, (ch, cw))          # (B, T, H, W)
     imgs = jnp.sum(pastes * present[..., None, None], axis=1)
-    return jnp.clip(imgs, 0.0, 1.0), nums.astype(jnp.int32)
+    imgs = jnp.clip(imgs, 0.0, 1.0)
+    nums = nums.astype(jnp.int32)
+    if return_meta:
+        return imgs, nums, {"sx": sx, "sy": sy, "tx": tx, "ty": ty,
+                            "present": present}
+    return imgs, nums
 
 
 def _grid_positions(k_pos: jax.Array, sx: jax.Array, sy: jax.Array,

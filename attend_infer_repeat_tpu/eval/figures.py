@@ -34,10 +34,12 @@ def _box_from_where(z_where, img_hw):
 
 
 def make_fig(imgs, outputs, path: str, n_samples: int = 8,
-             true_nums=None) -> str:
+             true_nums=None, max_scale=None) -> str:
     """Save an input/reconstruction grid with per-step attention boxes.
 
-    ``imgs (B, H, W)``; ``outputs`` is an ``AIROutputs``.  Returns the
+    ``imgs (B, H, W)``; ``outputs`` is an ``AIROutputs``.  Pass the
+    model's ``max_scale`` so drawn boxes reflect the ACTUAL (hard-capped)
+    attention windows rather than the raw Gaussian samples.  Returns the
     saved path.
     """
     import matplotlib
@@ -47,7 +49,10 @@ def make_fig(imgs, outputs, path: str, n_samples: int = 8,
 
     imgs = np.asarray(imgs)
     canvas = np.asarray(outputs.canvas)
-    z_where = np.asarray(outputs.steps.z_where)       # (B, T, 4)
+    z_where = np.array(outputs.steps.z_where)         # (B, T, 4), copy
+    if max_scale is not None:
+        # mirror modules.st_where's gradient-preserving clip
+        z_where[..., :2] = np.minimum(z_where[..., :2], max_scale)
     pres = np.asarray(outputs.steps.pres)             # (B, T)
     pred_n = np.asarray(outputs.predicted_steps)
 

@@ -155,9 +155,17 @@ def initial_carry(cfg: ModelConfig, img: jax.Array) -> Carry:
 
 
 def make_scan_cell(cfg: ModelConfig, decoder: Any = None) -> Any:
-    """``AIRCell`` lifted over the object axis with broadcast parameters."""
+    """``AIRCell`` lifted over the object axis with broadcast parameters.
+
+    With ``cfg.remat`` the cell body is checkpointed: the backward pass
+    recomputes each step's activations instead of spilling them to HBM
+    (the step is HBM-bound, not MXU-bound — see the ``remat`` config
+    note), at the cost of a second forward per step.
+    """
+    cell_cls = nn.remat(AIRCell, prevent_cse=False) if cfg.remat \
+        else AIRCell
     return nn.scan(
-        AIRCell,
+        cell_cls,
         variable_broadcast="params",
         split_rngs={"params": False},
         in_axes=0,

@@ -115,9 +115,12 @@ def count_accuracy(outputs: AIROutputs, true_counts: jax.Array,
     ``use_mode=False`` compares the sampled count ``Σ_t z_pres_t`` (the
     reference's ``num_step_accuracy``, ``model.py``).  ``use_mode=True``
     compares the MAP count (argmax of the closed-form count posterior) —
-    the better estimator, and immune to the ``explore_eps`` sampling
-    floor, which caps sampled-count accuracy at ~(1−eps)³.  Ground-truth
-    counts are evaluation-only — never used in training (SURVEY §1.4).
+    the better estimator.  Note that under a training-time ``explore_eps``
+    floor BOTH estimators are corrupted (the count pmf conditions on the
+    SAMPLED previous presences, which the floor forces off ~eps of the
+    time); evaluate with a floor-free model — ``train.step.make_eval_step``
+    builds one.  Ground-truth counts are evaluation-only — never used in
+    training (SURVEY §1.4).
     """
     pred = outputs.mode_steps if use_mode else outputs.predicted_steps
     return jnp.mean((pred == true_counts.astype(pred.dtype))

@@ -39,8 +39,25 @@ from attend_infer_repeat_tpu.train.state import (
 
 
 def make_shardmap_train_step(config: Config, model, digit_bank,
-                             mesh: Mesh) -> Callable:
-    """Jitted ``step(state) → (state, metrics)``; state replicated."""
+                             mesh: Mesh,
+                             external_batch: bool = False) -> Callable:
+    """Jitted ``step(state) → (state, metrics)``; state replicated.
+
+    With ``external_batch=True`` the returned step takes an injected
+    batch — ``step(state, (imgs, nums))``, REPLICATED to every device —
+    and uses the same un-dev-folded model key as the GSPMD path.  Every
+    device then computes the identical full-batch step, the ``pmean``
+    must be exact, and the result must equal the GSPMD step on the same
+    batch/key — the cross-path equivalence check
+    (``tests/test_parallel.py::test_shardmap_matches_gspmd``, VERDICT r2
+    #5).  Injection must be replicated rather than sharded because the
+    two paths draw latents differently on sharded data: GSPMD samples
+    the global ``(B, …)`` shape (partitionable threefry), the shard_map
+    body samples per-device ``(B/n, …)`` shapes — same objective,
+    different realizations, so only the replicated layout is
+    value-comparable.  The default per-device synthesis stays the
+    production layout (no host sharding, no duplicate work).
+    """
     tcfg = config.train
     bank = jnp.asarray(digit_bank)
     n_dev = mesh.devices.size
@@ -50,16 +67,26 @@ def make_shardmap_train_step(config: Config, model, digit_bank,
             f"{n_dev}")
     local_bs = tcfg.batch_size // n_dev
 
-    def spmd_body(state: TrainState):
+    def spmd_body(state: TrainState, batch=None):
         tx = make_optimizer(tcfg, state.params)
-        # per-device RNG: fold in step, then this device's mesh index
-        dev = jax.lax.axis_index(DATA_AXIS)
-        key = jax.random.fold_in(
-            jax.random.fold_in(state.base_key, state.step), dev)
+        step_key = jax.random.fold_in(state.base_key, state.step)
+        if batch is None:
+            # per-device RNG: fold in this device's mesh index so each
+            # device synthesizes a DISTINCT shard of the global batch
+            dev = jax.lax.axis_index(DATA_AXIS)
+            key = jax.random.fold_in(step_key, dev)
+        else:
+            # injected replicated batch: share the GSPMD path's key so
+            # the computation is value-comparable across paths
+            key = step_key
         k_data, k_model = jax.random.split(key)
         p_success = prior_success_prob(config.prior, state.step)
 
-        imgs, nums = synthesize_batch(k_data, bank, config.data, local_bs)
+        if batch is None:
+            imgs, nums = synthesize_batch(
+                k_data, bank, config.data, local_bs)
+        else:
+            imgs, nums = batch  # replicated full batch (see docstring)
 
         # identical objective to the GSPMD path (train/step.py): same
         # kl_beta warmup and L2 term, so both DP variants train the same
@@ -97,6 +124,12 @@ def make_shardmap_train_step(config: Config, model, digit_bank,
         return new_state, metrics
 
     repl = P()  # replicated in and out; batch lives only inside the body
-    mapped = jax.shard_map(spmd_body, mesh=mesh, in_specs=(repl,),
-                           out_specs=(repl, repl), check_vma=False)
+    if external_batch:
+        mapped = jax.shard_map(
+            spmd_body, mesh=mesh, in_specs=(repl, (repl, repl)),
+            out_specs=(repl, repl), check_vma=False)
+    else:
+        mapped = jax.shard_map(
+            lambda s: spmd_body(s), mesh=mesh, in_specs=(repl,),
+            out_specs=(repl, repl), check_vma=False)
     return jax.jit(mapped)

@@ -78,6 +78,15 @@ def train(config: Config | str, workdir: str = "runs/default",
             return (jnp.asarray(eval_ds.imgs[lo:lo + batch]),
                     jnp.asarray(eval_ds.nums[lo:lo + batch]))
 
+        def train_eval_synth(key, batch):
+            # fixed held-in batches (reference make_logger evaluates the
+            # TRAIN split over fixed batches too — SURVEY §4.5)
+            i = int(jax.random.randint(key, (), 0, max(
+                len(train_ds) // batch, 1)))
+            lo = i * batch
+            return (jnp.asarray(train_ds.imgs[lo:lo + batch]),
+                    jnp.asarray(train_ds.nums[lo:lo + batch]))
+
         sample_imgs = jnp.asarray(train_ds.imgs[:tcfg.batch_size])
     else:
         train_iter = None
@@ -86,6 +95,10 @@ def train(config: Config | str, workdir: str = "runs/default",
         eval_bank, _ = load_digit_bank(
             config.data.source, config.data.digit_size, split="eval")
         eval_synth = make_synth_fn(config.data, eval_bank)
+        # train-split eval batches: same synthesis distribution but from
+        # the TRAIN digit bank, under a fixed key namespace → fixed
+        # held-in batches every log point
+        train_eval_synth = make_synth_fn(config.data, train_bank)
         sample_key = jax.random.key(tcfg.seed)
         sample_imgs, _ = make_synth_fn(config.data, train_bank)(
             sample_key, tcfg.batch_size)
@@ -108,30 +121,79 @@ def train(config: Config | str, workdir: str = "runs/default",
             print(f"resumed from step {int(state.step)}", flush=True)
 
     train_step = make_train_step(config, model, digit_bank=train_bank)
+    # dispatch amortizer: K steps per lax.scan dispatch (synth path only)
+    k_scan = max(1, tcfg.scan_steps) if train_iter is None else 1
+    if k_scan > 1:
+        from attend_infer_repeat_tpu.train.step import make_scan_train_step
+        for nm, iv in (("log_every", tcfg.log_every),
+                       ("fig_every", tcfg.fig_every),
+                       ("save_every", tcfg.save_every)):
+            if iv % k_scan:
+                raise ValueError(
+                    f"{nm}={iv} must be a multiple of scan_steps={k_scan}")
+        scan_step = make_scan_train_step(config, model, train_bank, k_scan)
     eval_step = make_eval_step(config, model)
+    iwae_step = None
+    if tcfg.iwae_eval_particles > 0:
+        import dataclasses
+
+        from attend_infer_repeat_tpu.eval.iwae import make_iwae_eval_step
+
+        # the IWAE bound evaluates q at its OWN samples — use the
+        # floor-free posterior, same eval protocol as make_eval_step
+        iwae_model = AIRModel(
+            dataclasses.replace(config.model, explore_eps=None),
+            use_baseline=tcfg.use_baseline)
+        iwae_step = make_iwae_eval_step(config, iwae_model,
+                                        tcfg.iwae_eval_particles)
     logger = MetricsLogger(workdir, use_tensorboard=use_tensorboard)
     eval_key = jax.random.key(tcfg.seed + 1)
+    train_eval_key = jax.random.key(tcfg.seed + 2)
 
     def eval_batches():
         for i in range(tcfg.eval_batches):
             yield eval_synth(jax.random.fold_in(eval_key, i),
                              tcfg.batch_size)
 
+    def train_eval_batches():
+        for i in range(tcfg.eval_batches):
+            yield train_eval_synth(jax.random.fold_in(train_eval_key, i),
+                                   tcfg.batch_size)
+
     start = int(state.step)
-    for it in range(start, n_iters):
+    it = start
+    while it < n_iters:
         if train_iter is None:
-            state, metrics = train_step(state)
+            if k_scan > 1 and n_iters - it >= k_scan:
+                state, chunk = scan_step(state)
+                metrics = jax.tree.map(lambda a: a[-1], chunk)
+                it += k_scan
+            else:
+                state, metrics = train_step(state)
+                it += 1
         else:
             imgs, nums = next(train_iter)
             state, metrics = train_step(
                 state, (jnp.asarray(imgs), jnp.asarray(nums)))
+            it += 1
 
-        step_no = it + 1
+        step_no = it
         if step_no % tcfg.log_every == 0 or step_no == n_iters:
             logger.log(step_no, jax.device_get(metrics), prefix="train")
             ev = evaluate(eval_step, state, eval_batches(),
                           jax.random.fold_in(eval_key, step_no))
             logger.log(step_no, ev, prefix="eval")
+            # same fixed-batch protocol on held-IN data (reference
+            # make_logger runs train AND validation splits — SURVEY §4.5)
+            tr_ev = evaluate(eval_step, state, train_eval_batches(),
+                             jax.random.fold_in(train_eval_key, step_no))
+            logger.log(step_no, tr_ev, prefix="train_eval")
+            if iwae_step is not None:
+                iw_imgs, _ = eval_synth(
+                    jax.random.fold_in(eval_key, 0x1A3), tcfg.batch_size)
+                iw = iwae_step(state, iw_imgs,
+                               jax.random.fold_in(eval_key, step_no + 1))
+                logger.log(step_no, jax.device_get(iw), prefix="iwae")
         if step_no % tcfg.fig_every == 0 or step_no == n_iters:
             fig_key = jax.random.fold_in(eval_key, 0xF16)
             imgs, nums = eval_synth(
@@ -140,7 +202,8 @@ def train(config: Config | str, workdir: str = "runs/default",
                                    jax.random.fold_in(eval_key, step_no))
             make_fig(np.asarray(imgs), outputs,
                      os.path.join(workdir, f"fig_{step_no:07d}.png"),
-                     true_nums=np.asarray(nums))
+                     true_nums=np.asarray(nums),
+                     max_scale=config.model.max_scale)
         if ckpt is not None and (step_no % tcfg.save_every == 0
                                  or step_no == n_iters):
             ckpt.save(state, force=(step_no == n_iters))

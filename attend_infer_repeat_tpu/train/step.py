@@ -120,6 +120,39 @@ def make_train_step(config: Config, model, digit_bank=None,
     return jax.jit(step_fn, donate_argnums=donate_args)
 
 
+def make_scan_train_step(config: Config, model, digit_bank,
+                         k_steps: int, donate: bool = True,
+                         mesh=None) -> Callable:
+    """K train steps inside ONE jitted ``lax.scan`` (dispatch amortizer).
+
+    ``step(state) → (state, metrics)`` where metrics are stacked over the
+    K inner steps (leading axis K; callers typically log the last row).
+    The per-step host dispatch (~0.9 ms on this host) is paid once per K
+    instead of once per step — the standard fix for dispatch-latency-bound
+    small-batch regimes (VERDICT r2 #1b).  Only the on-device-synthesis
+    path is supported: the state already threads cleanly
+    (``step(state) → state``) and each inner step folds its own data key
+    from ``state.step``, so the scan body is exactly the per-step body.
+    """
+    if digit_bank is None:
+        raise ValueError("scan driver requires on-device synthesis "
+                         "(digit_bank); the pickle path feeds batches "
+                         "from host per step")
+    # Scan over the jitted single step: under the outer jit trace the
+    # inner jit inlines, so this still lowers to ONE XLA program.
+    step1 = make_train_step(config, model, digit_bank=digit_bank,
+                            donate=False, mesh=mesh)
+
+    def scan_fn(state: TrainState):
+        def body(s, _):
+            s, m = step1(s)
+            return s, m
+        return jax.lax.scan(body, state, xs=None, length=k_steps)
+
+    donate_args = (0,) if donate else ()
+    return jax.jit(scan_fn, donate_argnums=donate_args)
+
+
 def make_eval_step(config: Config, model) -> Callable:
     """Jitted evaluation on a fixed batch: metrics + count accuracy.
 
@@ -143,9 +176,12 @@ def make_eval_step(config: Config, model) -> Callable:
 
     from attend_infer_repeat_tpu.models.air import AIRModel
 
+    # Derive the eval model from the PASSED model's own config (not
+    # config.model) so a caller-customized model can't silently evaluate
+    # a different architecture against its trained params.
     eval_model = AIRModel(
-        dataclasses.replace(config.model, explore_eps=None),
-        use_baseline=getattr(model, "use_baseline", True))
+        dataclasses.replace(model.cfg, explore_eps=None),
+        use_baseline=model.use_baseline)
 
     @functools.partial(jax.jit, static_argnames=())
     def eval_fn(state: TrainState, imgs, nums, eval_key):

@@ -8,6 +8,16 @@ of the same train step (the reference is TF1 on CPU; SURVEY §7 requires
 us to measure the denominator ourselves).  The CPU number is cached in
 ``benchmarks/baseline_cpu.json`` (regenerate with
 ``python bench.py --measure-cpu-baseline``).
+
+The headline operating point (VERDICT r2 #1):
+  - ``dtype=bfloat16`` compute (quality VALIDATED end-to-end: 1.0000
+    held-out count accuracy, BASELINE.md bf16 row);
+  - the K-step ``lax.scan`` driver (``train.step.make_scan_train_step``)
+    so per-step host dispatch is paid once per K steps;
+  - roofline columns measured from the compiled program's
+    ``cost_analysis()``: FLOPs → MFU vs the 197 TFLOP/s bf16 peak, and
+    bytes accessed → achieved GB/s vs the ~819 GB/s v5e HBM peak — the
+    evidence for WHERE the step sits (MXU- vs HBM- vs dispatch-bound).
 """
 
 from __future__ import annotations
@@ -24,48 +34,83 @@ _BASELINE_PATH = os.path.join(
     "benchmarks", "baseline_cpu.json")
 
 
-#: TPU v5e peak: 197 TFLOP/s bf16 per chip (the standard MFU denominator;
-#: f32 matmuls run below this, so f32 MFU reported against it is
-#: conservative and survives dtype changes).
+#: TPU v5e peaks: 197 TFLOP/s bf16 (MXU) and ~819 GB/s HBM bandwidth —
+#: the two roofline denominators.  f32 matmuls run below the bf16 peak,
+#: so f32 MFU reported against it is conservative.
 _V5E_PEAK_FLOPS = 197e12
+_V5E_PEAK_HBM_BYTES = 819e9
 
 
-def _flops_per_step(step, state) -> float | None:
-    """Compiled-cost FLOPs of one train step (None if unavailable)."""
+def _cost_analysis(compiled):
+    """(flops, bytes_accessed) of a compiled computation (None if n/a)."""
     try:
-        cost = step.lower(state).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = cost.get("flops")
-        return float(flops) if flops and flops > 0 else None
+        byts = cost.get("bytes accessed")
+        return (float(flops) if flops and flops > 0 else None,
+                float(byts) if byts and byts > 0 else None)
     except Exception:
-        return None
+        return None, None
 
 
-def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
-                           batch_size: int | None = None,
-                           with_flops: bool = False):
-    from attend_infer_repeat_tpu.configs import get_config
+def _build(config):
     from attend_infer_repeat_tpu.data import load_digit_bank
     from attend_infer_repeat_tpu.models.air import AIRModel
-    from attend_infer_repeat_tpu.train import (
-        create_train_state,
-        make_train_step,
-    )
-    import dataclasses
+    from attend_infer_repeat_tpu.train import create_train_state
     import jax.numpy as jnp
 
-    config = get_config("canonical")
-    if batch_size is not None:
-        config = dataclasses.replace(
-            config, train=dataclasses.replace(config.train,
-                                              batch_size=batch_size))
     bank, _ = load_digit_bank(config.data.source, config.data.digit_size)
     model = AIRModel(config.model)
     imgs = jnp.zeros((config.train.batch_size,) + config.model.img_size)
     state = create_train_state(config, model, imgs)
-    step = make_train_step(config, model, digit_bank=bank)
-    flops = _flops_per_step(step, state) if with_flops else None
+    return model, state, bank
+
+
+def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
+                           batch_size: int | None = None,
+                           dtype: str | None = None,
+                           scan_steps: int = 1,
+                           remat: bool = False,
+                           with_cost: bool = False):
+    """Throughput of the canonical train step at one operating point.
+
+    ``scan_steps > 1`` benches the K-step scanned driver (one dispatch
+    per K steps).  Returns img/s, or ``(img/s, flops_per_step,
+    bytes_per_step, ms_per_step)`` with ``with_cost``.
+    """
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.train import make_train_step
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+    import dataclasses
+
+    config = get_config("canonical")
+    repl = {}
+    if batch_size is not None:
+        repl["train"] = dataclasses.replace(config.train,
+                                            batch_size=batch_size)
+    if dtype is not None or remat:
+        repl["model"] = dataclasses.replace(
+            config.model, dtype=dtype or config.model.dtype, remat=remat)
+    if repl:
+        config = dataclasses.replace(config, **repl)
+
+    model, state, bank = _build(config)
+    if scan_steps > 1:
+        step = make_scan_train_step(config, model, bank, scan_steps)
+    else:
+        step = make_train_step(config, model, digit_bank=bank)
+
+    flops = byts = None
+    if with_cost:
+        # ALWAYS cost-analyze the single-step program: XLA's
+        # cost_analysis counts a lax.scan body ONCE regardless of trip
+        # count (verified: scan-8 raw flops == scan-1 raw flops), so the
+        # unscanned lowering is the per-step truth for both drivers.
+        one = make_train_step(config, model, digit_bank=bank,
+                              donate=False)
+        flops, byts = _cost_analysis(one.lower(state).compile())
 
     for _ in range(n_warmup):
         state, metrics = step(state)
@@ -76,9 +121,10 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         state, metrics = step(state)
     jax.block_until_ready(metrics)
     dt = time.perf_counter() - t0
-    ips = n_timed * config.train.batch_size / dt
-    if with_flops:
-        return ips, flops
+    steps_done = n_timed * scan_steps
+    ips = steps_done * config.train.batch_size / dt
+    if with_cost:
+        return ips, flops, byts, 1e3 * dt / steps_done
     return ips
 
 
@@ -89,6 +135,9 @@ def main():
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="measure the CPU stand-in baseline and cache it")
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--dtype", default=None)
+    p.add_argument("--scan-steps", type=int, default=None)
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     if args.measure_cpu_baseline:
@@ -106,36 +155,60 @@ def main():
         return
 
     if args.batch_size is not None:
-        value, flops = measure_images_per_sec(batch_size=args.batch_size,
-                                              with_flops=True)
-        batch = args.batch_size
+        ips, flops, byts, ms = measure_images_per_sec(
+            batch_size=args.batch_size, dtype=args.dtype,
+            scan_steps=args.scan_steps or 1, remat=args.remat,
+            with_cost=True)
+        best = (ips, args.batch_size, args.dtype or "float32",
+                args.scan_steps or 1, flops, byts, ms)
     else:
-        # Reference regime (batch 64) is dispatch-latency-bound on TPU;
-        # the chip's train throughput is the large-batch operating point.
-        # Report the best across operating points; vs_baseline is
-        # best-TPU / best-CPU.
-        candidates = [(measure_images_per_sec(batch_size=64), 64, None)]
-        for b in (1024, 2048):
-            ips, fl = measure_images_per_sec(n_warmup=10, n_timed=50,
-                                             batch_size=b, with_flops=True)
-            candidates.append((ips, b, fl))
-        value, batch, flops = max(candidates)
+        # Operating-point sweep over the measured winners (2026-08-17
+        # probes, /tmp sweeps → BASELINE.md).  The headline dtype is
+        # bfloat16 — its end-to-end quality is validated (BASELINE.md:
+        # 1.0000 held-out accuracy, ELBO within 0.5% of f32).  remat
+        # helps at batch 1024 (HBM-bound backward) and hurts at batch 64
+        # (param traffic dominates); scan_steps amortizes dispatch.
+        best = None
+        for batch, k, remat in ((1024, 16, True), (1024, 8, True),
+                                (64, 64, False)):
+            ips, flops, byts, ms = measure_images_per_sec(
+                n_warmup=2, n_timed=max(4, 400 // k),
+                batch_size=batch, dtype="bfloat16", scan_steps=k,
+                remat=remat, with_cost=True)
+            cand = (ips, batch, "bfloat16", k, flops, byts, ms)
+            if best is None or cand[0] > best[0]:
+                best = cand
+    value, batch, dtype, k, flops, byts, ms = best
+
     baseline = None
     if os.path.exists(_BASELINE_PATH):
         with open(_BASELINE_PATH) as f:
             baseline = json.load(f).get("cpu_images_per_sec")
     vs = value / baseline if baseline else None
     record = {
-        "metric": "canonical train-step throughput (multi-MNIST images/sec/chip)",
+        "metric": "canonical train-step throughput "
+                  "(multi-MNIST images/sec/chip)",
         "value": round(value, 2),
         "unit": "images/sec",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "batch_size": batch,
+        "dtype": dtype,
+        "scan_steps": k,
+        "ms_per_step": round(ms, 3),
     }
     if flops:
-        # model FLOPs utilization: achieved FLOP/s over the v5e bf16 peak
+        # roofline: achieved FLOP/s over the bf16 MXU peak...
         record["flops_per_image"] = round(flops / batch)
         record["mfu_pct"] = round(
             100.0 * flops / batch * value / _V5E_PEAK_FLOPS, 3)
+    if byts:
+        # ...and achieved HBM traffic over the HBM-bandwidth peak.  These
+        # two columns are the measured evidence for where the step sits
+        # (VERDICT r2 #1a): whichever is closer to 100% is the binding
+        # resource; if both are low the step is dispatch/latency-bound.
+        record["bytes_per_image"] = round(byts / batch)
+        record["hbm_util_pct"] = round(
+            100.0 * byts / batch * value / _V5E_PEAK_HBM_BYTES, 3)
     print(json.dumps(record))
 
 

@@ -38,6 +38,16 @@ from attend_infer_repeat_tpu.configs import get_config
 
 def make_variant(name: str):
     cfg = get_config("canonical")
+    # The shipped `canonical` preset carries the one documented flip
+    # (explore_eps=0.05).  The ablation's literal baseline must NOT
+    # inherit it (ADVICE r1: the ref+anneal run silently included the
+    # floor) — pin every literal reconstruction value explicitly here so
+    # future preset edits can't confound the ablation again.
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, explore_eps=None, output_std=0.3,
+            where_prior_scale=(0.05, 0.05, 1.0, 1.0),
+            isotropic_scale=False, max_scale=None))
 
     prior_fix = dict(output_std=0.15,
                      where_prior_scale=(0.03, 0.03, 1.0, 1.0),

@@ -60,7 +60,12 @@ def main():
     es = make_eval_step(cfg, model)
     _, out = es(state, imgs, nums, jax.random.key(23))
 
-    zw = np.asarray(out.steps.z_where)          # (B, T, 4) (sx, sy, tx, ty)
+    zw = np.array(out.steps.z_where)            # (B, T, 4) (sx, sy, tx, ty)
+    # mirror st_where's hard cap: the ACTUAL attention window uses the
+    # clipped scale, so IoU/boxes must too (ADVICE r1 — raw samples above
+    # the cap would overstate the window)
+    if cfg.model.max_scale is not None:
+        zw[..., :2] = np.minimum(zw[..., :2], cfg.model.max_scale)
     pres = np.asarray(out.steps.pres)           # (B, T)
     pred = np.asarray(out.mode_steps)
     # IoU between the first two present windows per scene
@@ -81,7 +86,8 @@ def main():
         and a.shape[:1] == (args.batch,) else a, out)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     make_fig(np.asarray(imgs)[sel], sub_out, args.out,
-             true_nums=np.asarray(nums)[sel])
+             true_nums=np.asarray(nums)[sel],
+             max_scale=cfg.model.max_scale)
     print("saved", args.out)
 
 

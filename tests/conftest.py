@@ -23,3 +23,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# The fast suite is compile-dominated (dozens of tiny-config re-jits);
+# the persistent compilation cache makes re-runs near-instant and is
+# shared with the CLI entry points (utils/cache.py).  Scoped to a
+# tests-specific subdir so CPU artifacts never mix with TPU ones.
+from attend_infer_repeat_tpu.utils.cache import (  # noqa: E402
+    enable_compilation_cache,
+)
+
+enable_compilation_cache(
+    os.path.expanduser("~/.cache/air_tpu_xla_cache_tests"))

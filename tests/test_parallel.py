@@ -66,6 +66,57 @@ def test_dp_train_step_matches_single_device():
         float(m_dp["grad_norm"]), rel=1e-4)
 
 
+def test_shardmap_matches_gspmd():
+    """The explicit shard_map path computes the SAME update as the GSPMD
+    path on an identical injected batch and key (VERDICT r2 #5).
+
+    The batch is replicated to every device and the model key is shared
+    (external_batch mode), so each device computes the identical
+    full-batch step; the pmean must then be exact and the result must
+    equal the single-program GSPMD step on the same (batch, state).
+    """
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.data.synth import synthesize_batch
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.parallel.shard_map_step import (
+        make_shardmap_train_step,
+    )
+    from attend_infer_repeat_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model)
+    imgs0 = jnp.zeros((cfg.train.batch_size,) + cfg.model.img_size)
+    state = create_train_state(cfg, model, imgs0)
+    batch = synthesize_batch(jax.random.key(7), jnp.asarray(bank),
+                             cfg.data, cfg.train.batch_size)
+
+    # reference: the plain (GSPMD-on-one-device) step with injected batch
+    step_ref = make_train_step(cfg, model, digit_bank=None, donate=False)
+    s_ref, m_ref = step_ref(state, batch)
+
+    mesh = make_mesh(8)
+    state_sm = jax.device_put(state, replicate(mesh))
+    step_sm = make_shardmap_train_step(cfg, model, bank, mesh,
+                                       external_batch=True)
+    s_sm, m_sm = step_sm(state_sm, batch)
+
+    # metrics agree
+    for k in ("elbo", "grad_norm", "count_accuracy", "baseline_mse"):
+        if k in m_ref and k in m_sm:
+            assert float(m_ref[k]) == pytest.approx(
+                float(m_sm[k]), rel=1e-5, abs=1e-6), k
+    # updated parameters agree leaf-by-leaf
+    for a, b in zip(jax.tree.leaves(s_ref.params),
+                    jax.tree.leaves(s_sm.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_graft_entry_single():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(

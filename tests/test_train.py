@@ -84,6 +84,83 @@ def test_train_step_deterministic(setup, bank):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_train_step_is_single_program_no_host_callbacks(setup, bank):
+    """CI guard for the north-star one-XLA-program-per-step property
+    (SURVEY §4.1; VERDICT r2 #8): the full train step — data synthesis
+    included — lowers to one compiled module with NO host callbacks,
+    infeed/outfeed, or host transfers that would split the step or sync
+    with Python mid-step."""
+    import re
+
+    def assert_no_host_boundary(hlo: str):
+        # host callbacks lower to custom-calls whose TARGET names the
+        # python callback trampoline; infeed/outfeed/host-transfers have
+        # dedicated HLO ops.  (Matching whole-text would false-positive
+        # on op metadata, which embeds python function names.)
+        targets = re.findall(r'custom_call_target="([^"]+)"', hlo)
+        bad = [t for t in targets if "callback" in t.lower()
+               or "host" in t.lower()]
+        assert not bad, f"host callback custom-calls in step: {bad}"
+        for op in (" infeed(", " outfeed(", " send(", " recv(",
+                   " send-done(", " recv-done("):
+            assert op not in hlo, f"host transfer op in step: {op}"
+
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    assert_no_host_boundary(step.lower(state).compile().as_text())
+
+    # the K-step scanned driver must hold the same property
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+    scan_step = make_scan_train_step(cfg, model, bank, 3, donate=False)
+    assert_no_host_boundary(scan_step.lower(state).compile().as_text())
+
+
+def test_scan_train_step_matches_sequential(setup, bank):
+    """K scanned steps == K sequential dispatches (same states/metrics):
+    the dispatch amortizer changes batching of work, not math."""
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+    scan_step = make_scan_train_step(cfg, model, bank, 3, donate=False)
+
+    s_seq = state
+    seq_metrics = []
+    for _ in range(3):
+        s_seq, m = step(s_seq)
+        seq_metrics.append(m)
+    s_scan, m_scan = scan_step(state)
+
+    assert int(s_scan.step) == int(s_seq.step) == 3
+    for i, m in enumerate(seq_metrics):
+        assert float(m["elbo"]) == pytest.approx(
+            float(m_scan["elbo"][i]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_remat_step_matches_plain(setup, bank):
+    """cfg.remat only changes WHEN activations are (re)computed, not the
+    math: one train step must produce the same update and metrics."""
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    s_plain, m_plain = step(state)
+
+    cfg_r = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True))
+    model_r = AIRModel(cfg_r.model)
+    step_r = make_train_step(cfg_r, model_r, digit_bank=bank, donate=False)
+    s_remat, m_remat = step_r(state)
+
+    assert float(m_plain["elbo"]) == pytest.approx(
+        float(m_remat["elbo"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_remat.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_loss_decreases_over_short_run(bank):
     """Golden smoke: tiny model on tiny canvases, ELBO improves."""
     cfg = tiny_config()
