@@ -1,0 +1,78 @@
+"""Short probe runs for the 28 px forced-overlap preset (r3).
+
+The first canonical_uniform28 attempt (max_scale=0.8, scale prior std
+0.08) got stuck at exactly the merge optimum: E[n]=0.67, accuracy 0.658
+= correct on {0,1}-digit scenes, every 2-digit scene painted through ONE
+window (runs/u28_seed0, flat 19.5k→38.5k).  With forced overlap a
+0.8-scale window legally covers many digit pairs, so the cap no longer
+deletes the merge optimum.  These probes test tighter geometry at ~25k
+steps (merge-vs-split decides in the first few k steps):
+
+  cap62   scale_range (0.7, 1.0)  → max single half-extent 0.56;
+          max_scale 0.62, prior loc 0.48, tight std 0.03
+  cap70   scale_range (0.7, 1.2) as shipped; max_scale 0.70, std 0.03
+  tight   shipped geometry (cap 0.8) but prior std 0.03
+  glim28  cap70 + 28×28 glimpse (sharper reconstruction makes a merged
+          window costlier in likelihood)
+
+Usage: python scripts/probe_u28.py --variant cap62 [--iters 25000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from attend_infer_repeat_tpu.configs import get_config
+
+
+def make_variant(name: str):
+    cfg = get_config("canonical_uniform28")
+    m = dict()
+    d = dict()
+    if name == "cap62":
+        d.update(scale_range=(0.7, 1.0))
+        m.update(max_scale=0.62,
+                 where_prior_loc=(0.48, 0.48, 0.0, 0.0),
+                 where_prior_scale=(0.03, 0.03, 1.0, 1.0))
+    elif name == "cap70":
+        m.update(max_scale=0.70,
+                 where_prior_scale=(0.03, 0.03, 1.0, 1.0))
+    elif name == "tight":
+        m.update(where_prior_scale=(0.03, 0.03, 1.0, 1.0))
+    elif name == "glim28":
+        m.update(max_scale=0.70,
+                 where_prior_scale=(0.03, 0.03, 1.0, 1.0),
+                 glimpse_size=(28, 28))
+    else:
+        raise SystemExit(f"unknown variant {name!r}")
+    return dataclasses.replace(
+        cfg, name=f"u28_probe_{name}",
+        model=dataclasses.replace(cfg.model, **m),
+        data=dataclasses.replace(cfg.data, **d))
+
+
+def main():
+    from attend_infer_repeat_tpu.train.loop import train
+    from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    p = argparse.ArgumentParser()
+    p.add_argument("--variant", required=True)
+    p.add_argument("--iters", type=int, default=25_000)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    cfg = make_variant(args.variant)
+    cfg = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
+    train(cfg, workdir=f"runs/u28_probe_{args.variant}",
+          n_iters=args.iters, use_tensorboard=False)
+
+
+if __name__ == "__main__":
+    main()
