@@ -145,6 +145,14 @@ class TrainConfig:
 
     kl_warmup_steps: int = 0              # β: 0→1 over this many steps (0=off)
 
+    # NVIL variance normalization (Mnih & Gregor 2014 §2.3): divide the
+    # centered learning signal by max(1, batch std of the advantage)
+    # before the score-function term.  Bounds REINFORCE gradient scale on
+    # tasks whose advantages are large (the forced-overlap data produces
+    # |adv| in the hundreds of nats); off in reference-parity configs
+    # (SURVEY recalls the reference using only the learned baseline).
+    advantage_norm: bool = False
+
     # Hot-loop dispatch amortization: run this many train steps inside ONE
     # jitted ``lax.scan`` per Python-level iteration (1 = plain per-step
     # dispatch).  The per-step host↔device dispatch latency (~0.9 ms on
@@ -364,8 +372,14 @@ PRESETS = {
                           isotropic_scale=True, max_scale=0.62),
         data=DataConfig(digit_size=(28, 28), scale_range=(0.7, 1.0),
                         placement="uniform"),
+        # lr decays to 1e-5 (the reference's own lr) by 60k: the first
+        # 150k-decay run destabilized right after the prior anneal
+        # completed (grad norms 5e5→1.4e7, ELBO 2186→−4093 between 45k
+        # and 70k, runs/u28_seed0_decay150k) — the forced-overlap task
+        # produces much larger REINFORCE advantages than the separable
+        # tasks, and the post-anneal phase cannot run at 1e-4.
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
-                          lr_decay_steps=150_000,
+                          lr_decay_steps=60_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,

@@ -54,6 +54,7 @@ def surrogate_loss(outputs: AIROutputs,
                    l2_params_norm: jax.Array | float = 0.0,
                    l2_weight: float = 0.0,
                    kl_beta: jax.Array | float = 1.0,
+                   advantage_norm: bool = False,
                    ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """Single scalar surrogate whose gradient is the AIR estimator.
 
@@ -88,6 +89,17 @@ def surrogate_loss(outputs: AIROutputs,
         advantage = signal
         baseline_mse = jnp.asarray(0.0)
 
+    adv_std = jnp.sqrt(jnp.mean(jnp.square(
+        advantage - jnp.mean(advantage))) + 1e-8)           # batch scale
+    if advantage_norm:
+        # NVIL variance normalization (Mnih & Gregor 2014 §2.3): rescale
+        # the centered signal by max(1, σ̂).  Rescaling a stop-gradiented
+        # coefficient keeps the estimator's direction (unbiasedness up to
+        # a positive scalar step-size factor); σ̂ here is the current
+        # batch's estimate rather than the paper's running average — same
+        # role, one fewer piece of state to checkpoint.
+        advantage = advantage / jnp.maximum(1.0, sg(adv_std))
+
     reinforce = jnp.sum(advantage * log_q, axis=-1)         # (B,)
 
     loss = jnp.mean(-obj - reinforce) + baseline_mse
@@ -102,6 +114,7 @@ def surrogate_loss(outputs: AIROutputs,
         "kl_steps": jnp.mean(outputs.kl_steps),
         "baseline_mse": baseline_mse,
         "advantage_abs": jnp.mean(jnp.abs(advantage)),
+        "advantage_std": adv_std,
         "expected_steps": jnp.mean(outputs.expected_steps),
         "predicted_steps": jnp.mean(outputs.predicted_steps),
     }

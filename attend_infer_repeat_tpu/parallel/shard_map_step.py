@@ -100,11 +100,17 @@ def make_shardmap_train_step(config: Config, model, digit_bank,
 
         def loss_fn(params):
             outputs = model.apply(params, imgs, k_model, p_success)
+            # NOTE: with advantage_norm the normalization statistic is
+            # this device's batch std (the GSPMD path uses the global
+            # batch's) — same estimator, slightly different step-size
+            # factor per device; exact cross-path equality holds for the
+            # default advantage_norm=False.
             loss, metrics = surrogate_loss(
                 outputs,
                 l2_params_norm=_l2_norm_sq(params),
                 l2_weight=tcfg.l2_weight,
-                kl_beta=kl_beta)
+                kl_beta=kl_beta,
+                advantage_norm=tcfg.advantage_norm)
             return loss, (metrics, outputs)
 
         grads, (metrics, outputs) = jax.grad(

@@ -88,7 +88,8 @@ def make_train_step(config: Config, model, digit_bank=None,
                 outputs,
                 l2_params_norm=_l2_norm_sq(params),
                 l2_weight=tcfg.l2_weight,
-                kl_beta=kl_beta)
+                kl_beta=kl_beta,
+                advantage_norm=tcfg.advantage_norm)
             return loss, (metrics, outputs)
 
         grads, (metrics, outputs) = jax.grad(

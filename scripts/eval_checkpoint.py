@@ -106,8 +106,13 @@ def main():
 
     if args.iwae:
         from attend_infer_repeat_tpu.eval.iwae import make_iwae_eval_step
-        iw = make_iwae_eval_step(
-            dataclasses.replace(cfg), model, n_particles=5)
+
+        # floor-free posterior, matching the training loop's in-loop
+        # IWAE protocol (see train/loop.py iwae_model note)
+        iwae_model = AIRModel(
+            dataclasses.replace(cfg.model, explore_eps=None),
+            use_baseline=cfg.train.use_baseline)
+        iw = make_iwae_eval_step(cfg, iwae_model, n_particles=5)
         im, _ = synth(jax.random.fold_in(key, 31), args.batch_size)
         m = iw(state, im, jax.random.fold_in(key, 32))
         print(json.dumps({k: round(float(v), 2) for k, v in m.items()}))

@@ -86,6 +86,29 @@ class TestEnumeratedGradient:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=0.03, rtol=0.05)
 
+    def test_advantage_norm_preserves_direction(self):
+        """NVIL variance normalization rescales the presence gradient by a
+        positive scalar (max(1, batch σ̂) of the advantage) — same
+        direction as the exact enumerated gradient, smaller magnitude."""
+        theta = jnp.array([0.3, -0.4])
+        n = 60_000
+        keys = jax.random.split(jax.random.PRNGKey(1), n)
+
+        def neg_surrogate(th):
+            outputs = _toy_outputs(th, keys)
+            loss, metrics = surrogate_loss(outputs, advantage_norm=True)
+            return -loss, metrics
+
+        got, metrics = jax.grad(neg_surrogate, has_aux=True)(theta)
+        want = jax.grad(_exact_objective)(theta)
+        scale = float(jnp.maximum(1.0, metrics["advantage_std"]))
+        assert scale > 1.0  # the toy advantages exceed unit std
+        # rescaling got by the σ̂ factor recovers the exact gradient for
+        # the presence components (the direct-path component θ0 also
+        # carries an unscaled 0.1 term, so compare the REINFORCE-only θ1)
+        np.testing.assert_allclose(float(got[1]) * scale, float(want[1]),
+                                   atol=0.03, rtol=0.05)
+
     def test_baseline_reduces_variance_not_bias(self):
         """With a constant baseline the gradient estimate stays unbiased and
         its per-key variance drops (the point of NVIL)."""

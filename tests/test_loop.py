@@ -47,11 +47,13 @@ def test_train_loop_end_to_end(tmp_path):
     state = train(cfg, workdir=workdir, use_tensorboard=False)
     assert int(state.step) == 30
 
-    # metrics logged for train and eval splits
+    # metrics logged for the hot-loop train rows AND both fixed-batch
+    # eval splits (reference make_logger runs train + validation —
+    # SURVEY §4.5)
     rows = [json.loads(l) for l in
             open(os.path.join(workdir, "metrics.jsonl"))]
     splits = {r["split"] for r in rows}
-    assert splits == {"train", "eval"}
+    assert splits == {"train", "eval", "train_eval"}
 
     # figure written
     assert glob.glob(os.path.join(workdir, "fig_*.png"))
@@ -65,3 +67,22 @@ def test_train_loop_end_to_end(tmp_path):
     # resumed run logged steps beyond 30 without re-logging early steps
     later = [r for r in rows2 if r["step"] > 30]
     assert later
+
+
+@pytest.mark.slow
+def test_train_loop_scan_and_iwae_logging(tmp_path):
+    """scan_steps>1 hot loop + in-loop IWAE bound logging end-to-end."""
+    import numpy as np
+
+    cfg = tiny_config(n_iters=8, log_every=4, fig_every=8, save_every=8,
+                      eval_batches=1, scan_steps=2, iwae_eval_particles=2)
+    workdir = str(tmp_path / "run")
+    state = train(cfg, workdir=workdir, use_tensorboard=False,
+                  save_checkpoints=False)
+    assert int(state.step) == 8
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    iw = [r for r in rows if r["split"] == "iwae"]
+    assert iw and all(np.isfinite(r["iwae_bound"]) for r in iw)
+    # bound must sit at or above its own single-sample ELBO estimate
+    assert all(r["iwae_bound"] >= r["elbo"] - 1.0 for r in iw)
