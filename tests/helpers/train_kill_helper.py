@@ -24,6 +24,14 @@ import jax
 # (same pattern as tests/conftest.py; must run before any backend use).
 jax.config.update("jax_platforms", "cpu")
 
+# Share the test suite's persistent compilation cache: each helper
+# subprocess otherwise recompiles the whole tiny train program from
+# scratch, which dominated the fault-injection test's ~200 s runtime.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/air_tpu_xla_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 # tests/ (for test_train's tiny_config) and the repo root (for the package)
 _here = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.join(_here, os.pardir))
