@@ -127,18 +127,27 @@ def expand_where(cfg: ModelConfig, z_w):
 def st_where(cfg: ModelConfig, z_where):
     """z_where as consumed by the spatial transformer.
 
-    With ``cfg.max_scale`` set, the scale components are hard-capped with
-    a gradient-preserving clip — the window physically cannot grow to
-    cover two objects, which deletes the merged-window local optimum (see
-    the ``max_scale`` config note).  The posterior, its KL, and the
-    recorded sample stay on the RAW Gaussian; only the transformer
-    geometry is constrained.
+    With ``cfg.max_scale`` set, the scale components are hard-capped —
+    the window physically cannot grow to cover two objects, which deletes
+    the merged-window local optimum (see the ``max_scale`` config note).
+    The posterior, its KL, and the recorded sample stay on the RAW
+    Gaussian; only the transformer geometry is constrained.
+
+    The cap is a TRUE clip (``jnp.minimum``: zero gradient beyond the
+    bound), NOT the gradient-preserving ``clip_preserve``.  A
+    straight-through cap is a runaway generator on forced-overlap data:
+    the likelihood persistently "wants" a window wider than the cap (to
+    cover a digit pair), the straight-through gradient keeps pushing the
+    raw scale up with zero actual likelihood gain, and only the prior KL
+    resists — measured on canonical_uniform28 as kl_where exploding
+    22 → 9500 nats from ~26k steps while the reconstruction stayed
+    intact (runs/u28_seed0_unstable60k).  With the true clip, gradients
+    above the bound come only from the prior, which pulls the raw value
+    back into the active region.
     """
     if cfg.max_scale is None:
         return z_where
-    from attend_infer_repeat_tpu.ops.math import clip_preserve
-
-    s = clip_preserve(z_where[..., :2], -jnp.inf, cfg.max_scale)
+    s = jnp.minimum(z_where[..., :2], cfg.max_scale)
     return jnp.concatenate([s, z_where[..., 2:]], axis=-1)
 
 

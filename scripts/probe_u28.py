@@ -32,9 +32,15 @@ from attend_infer_repeat_tpu.configs import get_config
 
 def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
+    known = {"base", "cap62", "cap70", "tight", "glim28",
+             "advnorm", "clip10", "softlik"}
+    if name not in known:
+        raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
     m = dict()
     d = dict()
-    if name == "cap62":
+    if name == "base":
+        pass                                  # the preset exactly as shipped
+    elif name == "cap62":
         d.update(scale_range=(0.7, 1.0))
         m.update(max_scale=0.62,
                  where_prior_loc=(0.48, 0.48, 0.0, 0.0),
@@ -48,12 +54,24 @@ def make_variant(name: str):
         m.update(max_scale=0.70,
                  where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                  glimpse_size=(28, 28))
-    else:
-        raise SystemExit(f"unknown variant {name!r}")
+    # --- post-anneal stability probes (both decay-150k and decay-60k
+    # runs destabilized at 28-45k: ELBO −5000 swings, advantages in the
+    # thousands of nats crowding the reparam gradient out of the clipped
+    # budget; runs/u28_seed0_decay150k, runs/u28_seed0_unstable60k) ---
+    t = dict()
+    if name == "advnorm":
+        t.update(advantage_norm=True)         # NVIL variance normalization
+    elif name == "clip10":
+        t.update(grad_clip_norm=10.0)
+    elif name == "softlik":
+        m.update(output_std=0.3)              # the reference's own σ_x:
+        # 4× smaller likelihood nats → 4× smaller advantages; the merge
+        # economics that needed σ=0.15 are handled by the hard cap here
     return dataclasses.replace(
         cfg, name=f"u28_probe_{name}",
         model=dataclasses.replace(cfg.model, **m),
-        data=dataclasses.replace(cfg.data, **d))
+        data=dataclasses.replace(cfg.data, **d),
+        train=dataclasses.replace(cfg.train, **t))
 
 
 def main():

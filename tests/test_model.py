@@ -159,9 +159,12 @@ class TestMaxScale:
         out = st_where(cfg, zw)
         np.testing.assert_allclose(np.asarray(out[0]),
                                    [0.5, 0.3, 2.0, -2.0])
-        # gradient passes through the clip (clip_preserve semantics)
+        # TRUE clip semantics: zero gradient for a scale ABOVE the cap
+        # (a straight-through cap is a KL runaway generator on
+        # forced-overlap data — see the st_where docstring), identity
+        # gradient below it and for the untouched shift components
         g = jax.grad(lambda z: jnp.sum(st_where(cfg, z)))(zw)
-        np.testing.assert_allclose(np.asarray(g), 1.0)
+        np.testing.assert_allclose(np.asarray(g), [[0.0, 1.0, 1.0, 1.0]])
         # None = identity
         cfg2 = ModelConfig()
         np.testing.assert_array_equal(np.asarray(st_where(cfg2, zw)),
