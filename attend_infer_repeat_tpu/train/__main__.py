@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--eval-data", default=None, metavar="PATH",
                    help="validation pickle (with --data; defaults to the "
                         "training pickle)")
+    p.add_argument("--stream-data", action="store_true",
+                   help="with --data: stream batches from host per step "
+                        "instead of pinning the dataset in HBM (for "
+                        "datasets too large for device memory)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--no-tensorboard", action="store_true")
     p.add_argument("--no-checkpoints", action="store_true")
@@ -71,7 +75,8 @@ def main(argv=None):
           resume=not args.no_resume,
           use_tensorboard=not args.no_tensorboard,
           save_checkpoints=not args.no_checkpoints,
-          data_path=args.data, eval_data_path=args.eval_data)
+          data_path=args.data, eval_data_path=args.eval_data,
+          resident_data=not args.stream_data)
 
 
 if __name__ == "__main__":

@@ -32,7 +32,8 @@ def train(config: Config | str, workdir: str = "runs/default",
           n_iters: Optional[int] = None, resume: bool = True,
           use_tensorboard: bool = True, save_checkpoints: bool = True,
           data_path: Optional[str] = None,
-          eval_data_path: Optional[str] = None):
+          eval_data_path: Optional[str] = None,
+          resident_data: bool = True):
     """Train AIR per ``config``; returns the final ``TrainState``.
 
     Restore-or-init semantics match the reference: if ``workdir`` holds a
@@ -41,10 +42,13 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     With ``data_path`` (a reference-format ``{'imgs', 'nums'}`` pickle,
     e.g. from ``scripts/create_dataset.py`` — the reference's primary
-    workflow, SURVEY §4.1) batches stream from host memory through the
-    same jitted step; otherwise canvases are synthesized on-device inside
-    the step.  ``eval_data_path`` optionally holds the validation pickle
-    (defaults to evaluating on ``data_path``'s data).
+    workflow, SURVEY §4.1) the dataset is by default made HBM-resident
+    and minibatches are gathered on-device inside the jitted step, so the
+    pickle workflow rides the same ``lax.scan`` dispatch amortizer as
+    on-device synthesis.  ``resident_data=False`` falls back to streaming
+    batches from host per step (for datasets too large for HBM).
+    ``eval_data_path`` optionally holds the validation pickle (defaults
+    to evaluating on ``data_path``'s data).
     """
     if isinstance(config, str):
         config = get_config(config)
@@ -66,8 +70,17 @@ def train(config: Config | str, workdir: str = "runs/default",
         ev_blob = load_data(eval_data_path) if eval_data_path \
             else {"imgs": train_ds.imgs, "nums": train_ds.nums}
         eval_ds = InMemoryDataset(ev_blob["imgs"], ev_blob["nums"])
-        train_iter = train_ds.batches(tcfg.batch_size, seed=tcfg.seed)
         train_bank = None
+        if resident_data:
+            # whole dataset pinned in HBM; the step gathers minibatches
+            # from on-device random indices (no host transfer on the hot
+            # path — composes with the scan dispatch amortizer)
+            train_iter = None
+            device_data = (jnp.asarray(train_ds.imgs, jnp.float32),
+                           jnp.asarray(train_ds.nums, jnp.int32))
+        else:
+            train_iter = train_ds.batches(tcfg.batch_size, seed=tcfg.seed)
+            device_data = None
 
         def eval_synth(key, batch):
             # deterministic fixed batches from the validation set; the key
@@ -90,6 +103,7 @@ def train(config: Config | str, workdir: str = "runs/default",
         sample_imgs = jnp.asarray(train_ds.imgs[:tcfg.batch_size])
     else:
         train_iter = None
+        device_data = None
         train_bank, _ = load_digit_bank(
             config.data.source, config.data.digit_size, split="train")
         eval_bank, _ = load_digit_bank(
@@ -120,8 +134,10 @@ def train(config: Config | str, workdir: str = "runs/default",
             state = restored
             print(f"resumed from step {int(state.step)}", flush=True)
 
-    train_step = make_train_step(config, model, digit_bank=train_bank)
-    # dispatch amortizer: K steps per lax.scan dispatch (synth path only)
+    train_step = make_train_step(config, model, digit_bank=train_bank,
+                                 device_data=device_data)
+    # dispatch amortizer: K steps per lax.scan dispatch (on-device data
+    # paths only: synthesis or HBM-resident dataset)
     k_scan = max(1, tcfg.scan_steps) if train_iter is None else 1
     if k_scan > 1:
         from attend_infer_repeat_tpu.train.step import make_scan_train_step
@@ -131,7 +147,8 @@ def train(config: Config | str, workdir: str = "runs/default",
             if iv % k_scan:
                 raise ValueError(
                     f"{nm}={iv} must be a multiple of scan_steps={k_scan}")
-        scan_step = make_scan_train_step(config, model, train_bank, k_scan)
+        scan_step = make_scan_train_step(config, model, train_bank, k_scan,
+                                         device_data=device_data)
     eval_step = make_eval_step(config, model)
     iwae_step = None
     if tcfg.iwae_eval_particles > 0:

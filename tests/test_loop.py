@@ -11,9 +11,12 @@ from tests.test_train import tiny_config
 import dataclasses
 
 
-def test_train_loop_from_pickle(tmp_path):
+@pytest.mark.parametrize("resident", [True, False],
+                         ids=["hbm-resident", "host-streamed"])
+def test_train_loop_from_pickle(tmp_path, resident):
     """The reference's primary workflow (SURVEY §4.1): train from a
-    create_dataset-style pickle through the same loop/CLI plumbing."""
+    create_dataset-style pickle through the same loop/CLI plumbing —
+    both the HBM-resident (default) and host-streamed data paths."""
     import pickle
 
     import jax
@@ -31,7 +34,7 @@ def test_train_loop_from_pickle(tmp_path):
 
     state = train(cfg, workdir=str(tmp_path / "run"),
                   use_tensorboard=False, save_checkpoints=False,
-                  data_path=str(path))
+                  data_path=str(path), resident_data=resident)
     assert int(state.step) == 4
     rows = [json.loads(l) for l in
             open(tmp_path / "run" / "metrics.jsonl")]

@@ -140,6 +140,36 @@ def test_scan_train_step_matches_sequential(setup, bank):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_device_data_step_and_scan(setup, bank):
+    """HBM-resident dataset path: the step gathers its minibatch from
+    on-device indices, so the pickle workflow composes with the scan
+    dispatch amortizer (same scan==sequential property as synthesis)."""
+    cfg, model, state = setup
+    synth = make_synth_fn(cfg.data, bank)
+    imgs, nums = synth(jax.random.key(7), 64)
+    dd = (jnp.asarray(imgs), jnp.asarray(nums))
+
+    step = make_train_step(cfg, model, device_data=dd, donate=False)
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+    scan_step = make_scan_train_step(cfg, model, None, 3, donate=False,
+                                     device_data=dd)
+
+    s_seq = state
+    for _ in range(3):
+        s_seq, m = step(s_seq)
+        assert np.isfinite(float(m["elbo"]))
+    s_scan, m_scan = scan_step(state)
+    assert int(s_scan.step) == int(s_seq.step) == 3
+    for a, b in zip(jax.tree.leaves(s_seq.params),
+                    jax.tree.leaves(s_scan.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+    # mutually exclusive with the synthesis path
+    with pytest.raises(ValueError):
+        make_train_step(cfg, model, digit_bank=bank, device_data=dd)
+
+
 def test_remat_step_matches_plain(setup, bank):
     """cfg.remat only changes WHEN activations are (re)computed, not the
     math: one train step must produce the same update and metrics."""
