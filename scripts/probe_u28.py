@@ -33,7 +33,8 @@ from attend_infer_repeat_tpu.configs import get_config
 def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
     known = {"base", "cap62", "cap70", "tight", "glim28",
-             "advnorm", "clip10", "softlik"}
+             "advnorm", "clip10", "softlik",
+             "prior3", "sharplik", "prior3_sharplik"}
     if name not in known:
         raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
     m = dict()
@@ -67,11 +68,28 @@ def make_variant(name: str):
         m.update(output_std=0.3)              # the reference's own σ_x:
         # 4× smaller likelihood nats → 4× smaller advantages; the merge
         # economics that needed σ=0.15 are handled by the hard cap here
+    # --- merge-economics probes (r3b): the supervised CountCNN ceiling
+    # is 0.9998 incl. IoU>=0.5 pairs (runs/supervised_ceiling_u28.json),
+    # so the shipped preset's residual 2->1 merges are a trainable gap,
+    # not data ambiguity.  A second step costs ~|log final_success_prob|
+    # count-KL nats plus its where/what KL; these probes cheapen the
+    # split explanation / raise the likelihood stake.  Run >=60k iters:
+    # the anneal only reaches the final prior at 42k, so 25k probes
+    # cannot see the late merge economics. ---
+    pr = dict()
+    if name == "prior3":
+        pr.update(final_success_prob=1e-3)    # 6.9 vs 11.5 nats/step
+    elif name == "sharplik":
+        m.update(output_std=0.10)             # likelihood stake ×2.25
+    elif name == "prior3_sharplik":
+        pr.update(final_success_prob=1e-3)
+        m.update(output_std=0.10)
     return dataclasses.replace(
         cfg, name=f"u28_probe_{name}",
         model=dataclasses.replace(cfg.model, **m),
         data=dataclasses.replace(cfg.data, **d),
-        train=dataclasses.replace(cfg.train, **t))
+        train=dataclasses.replace(cfg.train, **t),
+        prior=dataclasses.replace(cfg.prior, **pr))
 
 
 def main():
