@@ -363,9 +363,13 @@ PRESETS = {
         # @25k).  A looser cap readmits one-window-covers-two: cap 0.70
         # probed 0.745, cap 0.80 probed 0.658 = the pure merge optimum
         # (correct only on {0,1}-digit scenes, E[n] 0.67, flat to 38k).
-        # Near-stacked pairs (IoU>0.5, ~10% of pairs — PARITY.md table)
-        # still fit one capped window; that residual is the task's
-        # intrinsic ambiguity, not a trainable gap.
+        # Near-stacked pairs (IoU>0.5) still fit one capped window and
+        # are where residual 2->1 merges concentrate
+        # (runs/u28_seed0_overlap_errors.json).  NOTE this residual is
+        # NOT data ambiguity: a supervised CountCNN reaches 0.9998 on
+        # this distribution incl. every IoU>=0.5 pair
+        # (scripts/supervised_ceiling.py) — it is the structured
+        # generative model's one-window-per-object inductive-bias gap.
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_loc=(0.48, 0.48, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),

@@ -3,11 +3,14 @@
 Substantiates the forced-overlap task's accuracy ceiling (VERDICT r2 #2:
 ">=0.95 or an honest ceiling analysis"): on `canonical_uniform28` two 28 px
 digits cannot avoid overlapping on a 50x50 canvas, and near-stacked pairs
-(high IoU) fit inside one capped attention window — the model cannot tell
-"one digit" from "two stacked digits" there even in principle.  This script
+(high IoU) fit inside one capped attention window, where a single-window
+explanation of the pair becomes cheap for the generative model.  This script
 evaluates a trained checkpoint on held-out scenes, bins MAP-count accuracy
 by the scene's max pairwise ground-truth box IoU, and reports where the
-errors concentrate.  Reference analogue: none (the reference's
+errors concentrate.  (Companion measurement: `supervised_ceiling.py`
+shows a label-supervised CNN counts the SAME scenes at 0.9998 incl.
+IoU>=0.5 — the high-IoU errors are an inductive-bias cost of the
+one-window-per-object generative explanation, not pixel ambiguity.)  Reference analogue: none (the reference's
 `eval_tools.py` reports only aggregate accuracy) — this is the measurement
 backing the preset's documented geometry rationale (configs.py
 canonical_uniform28 note).
