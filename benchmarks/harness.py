@@ -36,6 +36,26 @@ def _record(row: dict):
     print(json.dumps(row), flush=True)
 
 
+#: v5e roofline denominators (same values as bench.py): 197 TFLOP/s
+#: bf16 MXU peak, ~819 GB/s HBM peak.
+_V5E_PEAK_FLOPS = 197e12
+_V5E_PEAK_HBM_BYTES = 819e9
+
+
+def _roofline(jitted, *args):
+    """(flops, bytes) from the compiled program's cost model, or Nones."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = cost.get("flops")
+        byts = cost.get("bytes accessed")
+        return (float(flops) if flops and flops > 0 else None,
+                float(byts) if byts and byts > 0 else None)
+    except Exception:
+        return None, None
+
+
 def _time_fn(fn, *args, n_warmup=3, n_timed=20):
     for _ in range(n_warmup):
         out = fn(*args)
@@ -145,11 +165,25 @@ def bench_serving(batch_sizes=(256, 1024, 4096, 8192)):
     for bs in batch_sizes:
         imgs, _ = synth(key, bs)
         dt = _time_fn(lambda: infer(state.params, imgs, key))
-        _record({"bench": "serving_infer", "batch_size": bs,
-                 "batch_ms": dt * 1e3, "images_per_sec": bs / dt})
+        row = {"bench": "serving_infer", "batch_size": bs,
+               "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
+        flops, byts = _roofline(infer, state.params, imgs, key)
+        if flops and byts:
+            row.update(
+                mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
+                hbm_util_pct=round(
+                    100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
+        _record(row)
         dt = _time_fn(lambda: generate(state.params, key, bs))
-        _record({"bench": "serving_generate", "batch_size": bs,
-                 "batch_ms": dt * 1e3, "images_per_sec": bs / dt})
+        row = {"bench": "serving_generate", "batch_size": bs,
+               "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
+        flops, byts = _roofline(generate, state.params, key, bs)
+        if flops and byts:
+            row.update(
+                mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
+                hbm_util_pct=round(
+                    100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
+        _record(row)
 
 
 def bench_st(batch_sizes=(64, 1024, 8192)):
