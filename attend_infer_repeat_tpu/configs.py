@@ -173,6 +173,16 @@ class TrainConfig:
     # default — the aggregate grad_norm is always logged.
     log_grad_norms: bool = False
 
+    # Best-checkpoint retention: at every log interval, if this metric
+    # from the held-out eval improves, snapshot the state under
+    # ``<workdir>/ckpt_best`` (kept alongside the rolling latest-N
+    # checkpoints; resume-safe via a best.json sidecar).  Late REINFORCE
+    # training wanders ~1 pt of held-out count accuracy between periodic
+    # checkpoints, so the best-eval snapshot is the right serving
+    # artifact.  The reference keeps only the last N (tf.train.Saver).
+    # Empty string disables.
+    best_metric: str = "count_accuracy_mode"
+
     log_every: int = 1_000
     fig_every: int = 10_000
     save_every: int = 10_000

@@ -8,6 +8,7 @@ two-group optimizer — a single XLA program per step (north star).
 """
 
 from attend_infer_repeat_tpu.train.checkpoint import (
+    BestCheckpointTracker,
     CheckpointManager,
     restore_latest,
 )
@@ -21,6 +22,7 @@ from attend_infer_repeat_tpu.train.step import make_eval_step, make_train_step
 from attend_infer_repeat_tpu.train.loop import train
 
 __all__ = [
+    "BestCheckpointTracker",
     "CheckpointManager",
     "restore_latest",
     "TrainState",

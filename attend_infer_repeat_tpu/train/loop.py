@@ -20,7 +20,10 @@ from attend_infer_repeat_tpu.data.synth import make_synth_fn
 from attend_infer_repeat_tpu.eval.figures import make_fig
 from attend_infer_repeat_tpu.eval.metrics import MetricsLogger, evaluate
 from attend_infer_repeat_tpu.models.air import AIRModel
-from attend_infer_repeat_tpu.train.checkpoint import CheckpointManager
+from attend_infer_repeat_tpu.train.checkpoint import (
+    BestCheckpointTracker,
+    CheckpointManager,
+)
 from attend_infer_repeat_tpu.train.state import (
     create_train_state,
     param_count,
@@ -128,6 +131,8 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt")) \
         if save_checkpoints else None
+    best = BestCheckpointTracker(os.path.join(workdir, "ckpt_best")) \
+        if (save_checkpoints and tcfg.best_metric) else None
     if ckpt is not None and resume:
         restored = ckpt.restore(state)
         if restored is not None:
@@ -205,6 +210,10 @@ def train(config: Config | str, workdir: str = "runs/default",
             tr_ev = evaluate(eval_step, state, train_eval_batches(),
                              jax.random.fold_in(train_eval_key, step_no))
             logger.log(step_no, tr_ev, prefix="train_eval")
+            if best is not None and tcfg.best_metric in ev:
+                if best.offer(state, float(ev[tcfg.best_metric])):
+                    print(f"[best {step_no}] {tcfg.best_metric}="
+                          f"{best.best:.4f} → ckpt_best", flush=True)
             if iwae_step is not None:
                 iw_imgs, _ = eval_synth(
                     jax.random.fold_in(eval_key, 0x1A3), tcfg.batch_size)
@@ -225,6 +234,9 @@ def train(config: Config | str, workdir: str = "runs/default",
                                  or step_no == n_iters):
             ckpt.save(state, force=(step_no == n_iters))
 
+    if best is not None:
+        best.wait()
+        best.close()
     if ckpt is not None:
         ckpt.wait()
         ckpt.close()

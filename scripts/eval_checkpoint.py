@@ -45,6 +45,9 @@ def main():
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--iwae", action="store_true")
+    p.add_argument("--best", action="store_true",
+                   help="evaluate <workdir>/ckpt_best (best-eval "
+                        "snapshot) instead of the latest checkpoint")
     p.add_argument("--train-seed", type=int, default=None,
                    help="seed override used when the run was trained "
                         "(affects only the state template)")
@@ -79,10 +82,11 @@ def main():
     synth = make_synth_fn(cfg.data, bank)
     imgs, _ = synth(jax.random.key(0), args.batch_size)
     state = create_train_state(cfg, model, imgs)
-    ckpt = CheckpointManager(f"{args.workdir}/ckpt")
+    sub = "ckpt_best" if args.best else "ckpt"
+    ckpt = CheckpointManager(f"{args.workdir}/{sub}")
     restored = ckpt.restore(state)
     if restored is None:
-        raise SystemExit(f"no checkpoint under {args.workdir}/ckpt")
+        raise SystemExit(f"no checkpoint under {args.workdir}/{sub}")
     state = restored
     print(f"restored step {int(state.step)}")
 

@@ -300,6 +300,40 @@ def test_checkpoint_resume_bitwise(tmp_path, setup, bank):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_best_checkpoint_tracker(tmp_path, setup, bank):
+    """Best-metric retention: only improvements snapshot; the best-step
+    state (not the latest) restores; the sidecar makes it resume-safe."""
+    from attend_infer_repeat_tpu.train import BestCheckpointTracker
+
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    s1, _ = step(state)          # step 1
+    s2, _ = step(s1)             # step 2
+    s3, _ = step(s2)             # step 3
+
+    d = str(tmp_path / "ckpt_best")
+    tr = BestCheckpointTracker(d)
+    assert tr.offer(s1, 0.50)            # first value always snapshots
+    assert not tr.offer(s2, 0.40)        # worse -> ignored
+    assert tr.offer(s3, 0.75)            # better -> replaces
+    assert not tr.offer(s3, 0.90)        # same step re-offered -> ignored
+    tr.wait()
+    tr.close()
+
+    # a fresh tracker resumes the best value from the sidecar
+    tr2 = BestCheckpointTracker(d)
+    assert tr2.best == pytest.approx(0.75)
+    assert tr2.best_step == 3
+    assert not tr2.offer(s2, 0.60)       # resume never regresses
+    restored = tr2.restore(state)
+    tr2.close()
+    assert restored is not None
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(s3.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_kill_based_fault_injection_resume(tmp_path):
     """Real fault injection (SURVEY §6): SIGTERM a training subprocess
