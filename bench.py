@@ -73,7 +73,8 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
                            dtype: str | None = None,
                            scan_steps: int = 1,
                            remat: bool = False,
-                           with_cost: bool = False):
+                           with_cost: bool = False,
+                           resident_data: int = 0):
     """Throughput of the canonical train step at one operating point.
 
     ``scan_steps > 1`` benches the K-step scanned driver (one dispatch
@@ -97,10 +98,22 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         config = dataclasses.replace(config, **repl)
 
     model, state, bank = _build(config)
+    device_data = None
+    if resident_data:
+        # the reference's own workflow trains from a FIXED pickle
+        # dataset, not infinite synthesis — pre-synthesize a resident
+        # dataset once and bench the in-step HBM gather path
+        from attend_infer_repeat_tpu.data import make_synth_fn
+        synth = make_synth_fn(config.data, bank)
+        imgs, nums = synth(jax.random.key(7), int(resident_data))
+        device_data = (imgs, nums)
+        bank = None
     if scan_steps > 1:
-        step = make_scan_train_step(config, model, bank, scan_steps)
+        step = make_scan_train_step(config, model, bank, scan_steps,
+                                    device_data=device_data)
     else:
-        step = make_train_step(config, model, digit_bank=bank)
+        step = make_train_step(config, model, digit_bank=bank,
+                               device_data=device_data)
 
     flops = byts = None
     if with_cost:
@@ -109,7 +122,7 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         # count (verified: scan-8 raw flops == scan-1 raw flops), so the
         # unscanned lowering is the per-step truth for both drivers.
         one = make_train_step(config, model, digit_bank=bank,
-                              donate=False)
+                              device_data=device_data, donate=False)
         flops, byts = _cost_analysis(one.lower(state).compile())
 
     for _ in range(n_warmup):
@@ -138,6 +151,11 @@ def main():
     p.add_argument("--dtype", default=None)
     p.add_argument("--scan-steps", type=int, default=None)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--resident-data", type=int, default=0, metavar="N",
+                   help="bench the HBM-resident fixed-dataset path "
+                        "(reference-pickle workflow) with an N-image "
+                        "pre-synthesized dataset instead of per-step "
+                        "on-device synthesis")
     args = p.parse_args()
 
     if args.measure_cpu_baseline:
@@ -158,7 +176,7 @@ def main():
         ips, flops, byts, ms = measure_images_per_sec(
             batch_size=args.batch_size, dtype=args.dtype,
             scan_steps=args.scan_steps or 1, remat=args.remat,
-            with_cost=True)
+            with_cost=True, resident_data=args.resident_data)
         best = (ips, args.batch_size, args.dtype or "float32",
                 args.scan_steps or 1, flops, byts, ms)
     else:
