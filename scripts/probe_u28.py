@@ -34,7 +34,7 @@ def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
     known = {"base", "cap62", "cap70", "tight", "glim28",
              "advnorm", "clip10", "softlik",
-             "prior3", "sharplik", "prior3_sharplik"}
+             "prior3", "sharplik", "prior3_sharplik", "prior3_glim28"}
     if name not in known:
         raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
     m = dict()
@@ -79,6 +79,13 @@ def make_variant(name: str):
     pr = dict()
     if name == "prior3":
         pr.update(final_success_prob=1e-3)    # 6.9 vs 11.5 nats/step
+    elif name == "prior3_glim28":
+        # best single lever (prior3) + 28×28 glimpse on the cap62
+        # geometry: a 28 px decode of a 28 px digit loses no detail, so
+        # a merged window's blurry two-digit rendering costs more
+        # likelihood than two crisp singles
+        pr.update(final_success_prob=1e-3)
+        m.update(glimpse_size=(28, 28))
     elif name == "sharplik":
         m.update(output_std=0.10)             # likelihood stake ×2.25
     elif name == "prior3_sharplik":

@@ -131,7 +131,12 @@ def test_graft_entry_single():
     assert np.isfinite(np.asarray(elbo)).all()
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
+    """Slow tier: re-runs the driver's own dryrun (a fresh subprocess
+    compiling the full 8-device step, ~2 min on this 1-core host).  The
+    same mesh logic is covered fast by the three tests above; the driver
+    executes dryrun_multichip itself every round."""
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__",
