@@ -34,7 +34,8 @@ def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
     known = {"base", "cap62", "cap70", "tight", "glim28",
              "advnorm", "clip10", "softlik",
-             "prior3", "sharplik", "prior3_sharplik", "prior3_glim28"}
+             "prior3", "sharplik", "prior3_sharplik", "prior3_glim28",
+             "prior2", "priormild"}
     if name not in known:
         raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
     m = dict()
@@ -79,6 +80,18 @@ def make_variant(name: str):
     pr = dict()
     if name == "prior3":
         pr.update(final_success_prob=1e-3)    # 6.9 vs 11.5 nats/step
+    # --- anneal-dose probes: the u28 metrics curves show eval count
+    # accuracy at 0.983-0.985 during steps 500-1500 (PRE-anneal, prior
+    # success still ~1, E[n] tracking the true mean 1.0) declining to
+    # ~0.945 exactly over the anneal window (2k-42k).  On forced-overlap
+    # data the harsh final count prior manufactures the 2->1 merges; the
+    # per-step where/what KL already suffices against overcounting
+    # (E[n]=1.00 at step 500 with zero count pressure).  Dose response:
+    # 1e-4 (base) -> 0.945, 1e-3 -> 0.9515; these probe 1e-2 and 0.3. ---
+    elif name == "prior2":
+        pr.update(final_success_prob=1e-2)    # 4.6 nats/extra step
+    elif name == "priormild":
+        pr.update(final_success_prob=0.3)     # 1.2 nats/extra step
     elif name == "prior3_glim28":
         # best single lever (prior3) + 28×28 glimpse on the cap62
         # geometry: a 28 px decode of a 28 px digit loses no detail, so
