@@ -1,0 +1,57 @@
+"""Preset-hygiene invariants (cheap, no model build).
+
+Pins the config-4 fix (VERDICT r2 #3): ``iwae`` must be a trainable
+preset (NVIL baseline ON, in-loop k-particle bound logging) and the
+baseline-off ablation lives under the honestly-named ``no_nvil``.  A
+regression that flips these re-ships a preset that trains to a dead
+model by design.
+"""
+
+import dataclasses
+
+import pytest
+
+from attend_infer_repeat_tpu.configs import PRESETS, get_config
+
+
+def test_all_presets_build():
+    for name in PRESETS:
+        cfg = get_config(name)
+        assert cfg.name == name
+        # dataclass round-trip (catches non-literal field leakage)
+        assert dataclasses.replace(cfg) == cfg
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError):
+        get_config("definitely_not_a_preset")
+
+
+def test_iwae_preset_trains_with_baseline():
+    cfg = get_config("iwae")
+    assert cfg.train.use_baseline, (
+        "config 4's `iwae` preset must keep the NVIL baseline ON — the "
+        "baseline-off run is the `no_nvil` ablation, not this preset")
+    assert cfg.train.iwae_eval_particles >= 2, (
+        "`iwae` must log the multi-particle bound from the training loop")
+
+
+def test_no_nvil_is_the_ablation():
+    cfg = get_config("no_nvil")
+    assert not cfg.train.use_baseline
+
+
+def test_batches_shard_over_dp_mesh():
+    # every preset must shard over the 8-device DP mesh used by the
+    # driver dryrun and the parallel tests
+    for name in PRESETS:
+        cfg = get_config(name)
+        assert cfg.train.batch_size % 8 == 0, name
+
+
+def test_uniform28_is_the_reference_geometry():
+    cfg = get_config("canonical_uniform28")
+    assert cfg.data.digit_size == (28, 28)
+    assert cfg.data.placement == "uniform"
+    lo, hi = cfg.data.scale_range
+    assert lo < 1.0 <= hi or hi <= 1.0, "digits possibly rescaled"
