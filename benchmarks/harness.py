@@ -150,40 +150,49 @@ def bench_serving(batch_sizes=(256, 1024, 4096, 8192)):
     )
     from attend_infer_repeat_tpu.train import create_train_state
 
-    config = get_config("serving")
-    bank, _ = load_digit_bank(config.data.source, config.data.digit_size)
-    synth = make_synth_fn(config.data, bank)
-    model = AIRModel(config.model, use_baseline=False)
-    init_imgs = jnp.zeros((8,) + config.model.img_size)
-    state = create_train_state(
-        dataclasses.replace(config, train=dataclasses.replace(
-            config.train, use_baseline=False)), model, init_imgs)
-    infer = make_infer_fn(config, model)
-    generate = make_generate_fn(config, model)
+    base = get_config("serving")
+    bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
+    synth = make_synth_fn(base.data, bank)
     key = jax.random.key(0)
 
-    for bs in batch_sizes:
-        imgs, _ = synth(key, bs)
-        dt = _time_fn(lambda: infer(state.params, imgs, key))
-        row = {"bench": "serving_infer", "batch_size": bs,
-               "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
-        flops, byts = _roofline(infer, state.params, imgs, key)
-        if flops and byts:
-            row.update(
-                mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
-                hbm_util_pct=round(
-                    100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
-        _record(row)
-        dt = _time_fn(lambda: generate(state.params, key, bs))
-        row = {"bench": "serving_generate", "batch_size": bs,
-               "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
-        flops, byts = _roofline(generate, state.params, key, bs)
-        if flops and byts:
-            row.update(
-                mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
-                hbm_util_pct=round(
-                    100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
-        _record(row)
+    # serving is HBM-bound like the train step, so the bf16 compute
+    # path (params stay f32; quality validated end-to-end, BASELINE.md
+    # bf16 row) is a legitimate faster operating point — report both
+    for dtype in ("float32", "bfloat16"):
+        config = dataclasses.replace(
+            base, model=dataclasses.replace(base.model, dtype=dtype))
+        model = AIRModel(config.model, use_baseline=False)
+        init_imgs = jnp.zeros((8,) + config.model.img_size)
+        state = create_train_state(
+            dataclasses.replace(config, train=dataclasses.replace(
+                config.train, use_baseline=False)), model, init_imgs)
+        infer = make_infer_fn(config, model)
+        generate = make_generate_fn(config, model)
+
+        for bs in batch_sizes:
+            imgs, _ = synth(key, bs)
+            dt = _time_fn(lambda: infer(state.params, imgs, key))
+            row = {"bench": "serving_infer", "batch_size": bs,
+                   "dtype": dtype,
+                   "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
+            flops, byts = _roofline(infer, state.params, imgs, key)
+            if flops and byts:
+                row.update(
+                    mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
+                    hbm_util_pct=round(
+                        100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
+            _record(row)
+            dt = _time_fn(lambda: generate(state.params, key, bs))
+            row = {"bench": "serving_generate", "batch_size": bs,
+                   "dtype": dtype,
+                   "batch_ms": dt * 1e3, "images_per_sec": bs / dt}
+            flops, byts = _roofline(generate, state.params, key, bs)
+            if flops and byts:
+                row.update(
+                    mfu_pct=round(100 * flops / dt / _V5E_PEAK_FLOPS, 2),
+                    hbm_util_pct=round(
+                        100 * byts / dt / _V5E_PEAK_HBM_BYTES, 1))
+            _record(row)
 
 
 def bench_st(batch_sizes=(64, 1024, 8192)):
