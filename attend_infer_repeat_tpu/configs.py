@@ -398,7 +398,19 @@ PRESETS = {
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000),
-        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
+        # Final count-prior dose measured on this task (60k probes,
+        # runs/u28_probe_*_eval.log, 8,192 held-out images): 1e-5 →
+        # 0.9476 (150k), 1e-3 → 0.9515, 1e-2 → 0.9496, 0.3 → 0.9502.
+        # The response saturates ≈0.95 for every dose softer than the
+        # default 1e-5 — post-KL-warmup the binding cost of a second
+        # window is the per-object where/what KL (~17-20 nats), not the
+        # count prior — so ship the measured best (1e-3).  The pre-
+        # warmup regime (likelihood-dominated) counts at 0.983-0.985;
+        # the gap to ~0.95 is the price of the true structured ELBO on
+        # near-stacked pairs, with the supervised ceiling at 0.9998
+        # (PARITY.md).
+        prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000,
+                                final_success_prob=1e-3),
     ),
     # 4. IWAE k=5 (BASELINE config 4): canonical_fast task/recipe with
     # the NVIL baseline ON, periodically logging the k=5 importance-
