@@ -51,7 +51,9 @@ def make_fig(imgs, outputs, path: str, n_samples: int = 8,
     canvas = np.asarray(outputs.canvas)
     z_where = np.array(outputs.steps.z_where)         # (B, T, 4), copy
     if max_scale is not None:
-        # mirror modules.st_where's gradient-preserving clip
+        # mirror modules.st_where's hard cap (a true clip — the
+        # gradient-preserving variant was removed as a measured KL
+        # instability; see configs.py max_scale notes)
         z_where[..., :2] = np.minimum(z_where[..., :2], max_scale)
     pres = np.asarray(outputs.steps.pres)             # (B, T)
     pred_n = np.asarray(outputs.predicted_steps)

@@ -89,9 +89,10 @@ def surrogate_loss(outputs: AIROutputs,
         advantage = signal
         baseline_mse = jnp.asarray(0.0)
 
-    adv_std = jnp.sqrt(jnp.mean(jnp.square(
-        advantage - jnp.mean(advantage))) + 1e-8)           # batch scale
+    adv_std = None
     if advantage_norm:
+        adv_std = jnp.sqrt(jnp.mean(jnp.square(
+            advantage - jnp.mean(advantage))) + 1e-8)       # batch scale
         # NVIL variance normalization (Mnih & Gregor 2014 §2.3): rescale
         # the centered signal by max(1, σ̂).  Rescaling a stop-gradiented
         # coefficient keeps the estimator's direction (unbiasedness up to
@@ -114,10 +115,13 @@ def surrogate_loss(outputs: AIROutputs,
         "kl_steps": jnp.mean(outputs.kl_steps),
         "baseline_mse": baseline_mse,
         "advantage_abs": jnp.mean(jnp.abs(advantage)),
-        "advantage_std": adv_std,
         "expected_steps": jnp.mean(outputs.expected_steps),
         "predicted_steps": jnp.mean(outputs.predicted_steps),
     }
+    if adv_std is not None:
+        # only when advantage_norm is on — the centered-mean/sqrt chain
+        # is off the hot path otherwise (same hygiene as log_grad_norms)
+        metrics["advantage_std"] = adv_std
     return loss, metrics
 
 

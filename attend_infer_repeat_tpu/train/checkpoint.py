@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Optional
 
 import jax
@@ -83,8 +84,15 @@ class BestCheckpointTracker:
     tracker resume-safe (a resumed run never regresses the best).
     """
 
-    def __init__(self, directory: str):
+    def __init__(self, directory: str, fresh: bool = False):
         self._dir = os.path.abspath(directory)
+        if fresh and os.path.isdir(self._dir):
+            # --no-resume: a fresh run must not inherit (and be
+            # suppressed by) an abandoned run's best value.  Wipe the
+            # whole tree, not just best.json — a surviving step
+            # directory collides with the fresh run's first save
+            # (orbax StepAlreadyExistsError).
+            shutil.rmtree(self._dir)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(max_to_keep=1,
@@ -92,6 +100,8 @@ class BestCheckpointTracker:
         self._meta = os.path.join(self._dir, "best.json")
         self.best: Optional[float] = None
         self.best_step: Optional[int] = None
+        if fresh:
+            return
         if os.path.exists(self._meta):
             try:
                 with open(self._meta) as f:
@@ -111,6 +121,12 @@ class BestCheckpointTracker:
         self.best = float(value)
         self.best_step = step
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=True)
+        # block until the (async) save is durable BEFORE writing the
+        # sidecar: a crash between the two must never leave best.json
+        # pointing at a checkpoint that doesn't exist (the resume guard
+        # would then refuse all lower offers forever).  Best saves are
+        # rare (improvements only), so the sync cost is off the hot path.
+        self._mgr.wait_until_finished()
         with open(self._meta, "w") as f:
             json.dump({"value": self.best, "step": step}, f)
         return True

@@ -131,7 +131,8 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     ckpt = CheckpointManager(os.path.join(workdir, "ckpt")) \
         if save_checkpoints else None
-    best = BestCheckpointTracker(os.path.join(workdir, "ckpt_best")) \
+    best = BestCheckpointTracker(os.path.join(workdir, "ckpt_best"),
+                                 fresh=not resume) \
         if (save_checkpoints and tcfg.best_metric) else None
     if ckpt is not None and resume:
         restored = ckpt.restore(state)
@@ -183,7 +184,8 @@ def train(config: Config | str, workdir: str = "runs/default",
                                    tcfg.batch_size)
 
     start = int(state.step)
-    it = start
+    figs_enabled = True    # flips off once if matplotlib (the optional
+    it = start             # [viz] extra) is absent — training continues
     while it < n_iters:
         if train_iter is None:
             if k_scan > 1 and n_iters - it >= k_scan:
@@ -220,16 +222,23 @@ def train(config: Config | str, workdir: str = "runs/default",
                 iw = iwae_step(state, iw_imgs,
                                jax.random.fold_in(eval_key, step_no + 1))
                 logger.log(step_no, jax.device_get(iw), prefix="iwae")
-        if step_no % tcfg.fig_every == 0 or step_no == n_iters:
+        if figs_enabled and (step_no % tcfg.fig_every == 0
+                             or step_no == n_iters):
             fig_key = jax.random.fold_in(eval_key, 0xF16)
             imgs, nums = eval_synth(
                 jax.random.fold_in(fig_key, step_no), tcfg.batch_size)
             _, outputs = eval_step(state, imgs, nums,
                                    jax.random.fold_in(eval_key, step_no))
-            make_fig(np.asarray(imgs), outputs,
-                     os.path.join(workdir, f"fig_{step_no:07d}.png"),
-                     true_nums=np.asarray(nums),
-                     max_scale=config.model.max_scale)
+            try:
+                make_fig(np.asarray(imgs), outputs,
+                         os.path.join(workdir, f"fig_{step_no:07d}.png"),
+                         true_nums=np.asarray(nums),
+                         max_scale=config.model.max_scale)
+            except ImportError as e:
+                figs_enabled = False
+                print(f"figures disabled ({e}); install the [viz] extra "
+                      f"for reconstruction/attention-box figures",
+                      flush=True)
         if ckpt is not None and (step_no % tcfg.save_every == 0
                                  or step_no == n_iters):
             ckpt.save(state, force=(step_no == n_iters))

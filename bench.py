@@ -172,12 +172,18 @@ def main():
                           "vs_baseline": 1.0}))
         return
 
-    if args.batch_size is not None:
+    explicit_point = (args.batch_size is not None or args.dtype is not None
+                      or args.scan_steps is not None or args.remat
+                      or args.resident_data)
+    if explicit_point:
+        # any operating-point flag selects the single-point path (the
+        # sweep below would silently ignore the requested point)
+        batch = args.batch_size or 1024
         ips, flops, byts, ms = measure_images_per_sec(
-            batch_size=args.batch_size, dtype=args.dtype,
+            batch_size=batch, dtype=args.dtype,
             scan_steps=args.scan_steps or 1, remat=args.remat,
             with_cost=True, resident_data=args.resident_data)
-        best = (ips, args.batch_size, args.dtype or "float32",
+        best = (ips, batch, args.dtype or "float32",
                 args.scan_steps or 1, flops, byts, ms)
     else:
         # Operating-point sweep over the measured winners (2026-08-17

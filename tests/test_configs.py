@@ -54,4 +54,6 @@ def test_uniform28_is_the_reference_geometry():
     assert cfg.data.digit_size == (28, 28)
     assert cfg.data.placement == "uniform"
     lo, hi = cfg.data.scale_range
-    assert lo < 1.0 <= hi or hi <= 1.0, "digits possibly rescaled"
+    # "possibly rescaled" (SURVEY §1.4): a non-degenerate range with
+    # some digits actually shrunk — (1.0, 1.0) must fail this
+    assert lo < 1.0 and lo < hi, "digits must be possibly rescaled"

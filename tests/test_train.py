@@ -334,6 +334,37 @@ def test_best_checkpoint_tracker(tmp_path, setup, bank):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_best_checkpoint_tracker_fresh_wipes_stale_run(tmp_path, setup,
+                                                       bank):
+    """``fresh=True`` (--no-resume) must wipe the whole ckpt_best tree:
+    a surviving step directory from the abandoned run collides with the
+    fresh run's first save at the same step (orbax
+    StepAlreadyExistsError), and a surviving best.json suppresses it."""
+    from attend_infer_repeat_tpu.train import BestCheckpointTracker
+
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    s1, _ = step(state)          # step 1
+
+    d = str(tmp_path / "ckpt_best")
+    tr = BestCheckpointTracker(d)
+    assert tr.offer(s1, 0.90)
+    tr.close()
+
+    tr2 = BestCheckpointTracker(d, fresh=True)
+    assert tr2.best is None and tr2.best_step is None
+    # same step, LOWER value: must save (no stale sidecar, no stale
+    # step-1 directory in the way)
+    assert tr2.offer(s1, 0.40)
+    assert tr2.best == pytest.approx(0.40)
+    tr2.close()
+
+    tr3 = BestCheckpointTracker(d)
+    assert tr3.best == pytest.approx(0.40)
+    assert tr3.restore(state) is not None
+    tr3.close()
+
+
 @pytest.mark.slow
 def test_kill_based_fault_injection_resume(tmp_path):
     """Real fault injection (SURVEY §6): SIGTERM a training subprocess
