@@ -71,6 +71,48 @@ def test_make_fig_saves_png(tmp_path, setup):
     assert os.path.exists(path) and os.path.getsize(path) > 1000
 
 
+def test_training_gif_from_fig_series(tmp_path, setup):
+    """The GIF stitcher collects fig_<step>.png in numeric step order
+    (fig_10000 after fig_5000, not lexically) and writes a multi-frame
+    GIF — the reference README's training-progress asset."""
+    import subprocess
+    import sys
+
+    cfg, model, state, synth = setup
+    eval_step = make_eval_step(cfg, model)
+    # steps chosen so lexical order (10000 < 5000) differs from numeric;
+    # distinct batches per frame (identical frames would be collapsed
+    # by GIF frame dedup, leaving a single-frame file)
+    for step in (900, 5000, 10000):
+        imgs, nums = synth(jax.random.key(step), 4)
+        _, outputs = eval_step(state, imgs, nums, jax.random.key(4))
+        make_fig(np.asarray(imgs), outputs,
+                 str(tmp_path / f"fig_{step:07d}.png"), n_samples=4,
+                 true_nums=np.asarray(nums))
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    try:
+        from make_training_gif import collect_frames
+    finally:
+        sys.path.pop(0)
+    frames = collect_frames(str(tmp_path))
+    assert [os.path.basename(f) for f in frames] == \
+        ["fig_0000900.png", "fig_0005000.png", "fig_0010000.png"]
+
+    out = tmp_path / "progress.gif"
+    rc = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "scripts", "make_training_gif.py"),
+         "--workdir", str(tmp_path), "--out", str(out),
+         "--hold-last", "1"],
+        capture_output=True, text=True)
+    assert rc.returncode == 0, rc.stderr
+    from PIL import Image
+    with Image.open(out) as gif:
+        assert gif.is_animated and gif.n_frames >= 2
+
+
 def test_iwae_bound_ge_elbo(setup):
     """logsumexp bound dominates the single-sample ELBO in expectation."""
     cfg, model, state, synth = setup
