@@ -140,7 +140,12 @@ def bench_train_st(batch_sizes=(256, 1024, 4096)):
                      "step_ms": dt * 1e3, "images_per_sec": bs / dt})
 
 
-def bench_serving(batch_sizes=(256, 1024, 4096, 8192)):
+def bench_serving(batch_sizes=(256, 1024, 4096, 8192, 16384, 32768)):
+    # 16k/32k rows: serving measured occupancy-bound at 8192 (1.4% MFU,
+    # 40-50% HBM — BASELINE.md), so wider batches are the remaining
+    # lever: more rows per ~256-wide matmul fills more of the chip.
+    # 32768 50x50 f32 canvases ≈ 0.33 GB of activations — well inside
+    # v5e HBM.
     from attend_infer_repeat_tpu.configs import get_config
     from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
     from attend_infer_repeat_tpu.models.air import AIRModel
