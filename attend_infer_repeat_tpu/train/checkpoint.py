@@ -27,9 +27,16 @@ class CheckpointManager:
     """Thin wrapper over ``orbax.CheckpointManager`` for ``TrainState``."""
 
     def __init__(self, directory: str, max_to_keep: int = 3,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1, fresh: bool = False):
+        directory = os.path.abspath(directory)
+        if fresh and os.path.isdir(directory):
+            # --no-resume into an existing workdir: stale step dirs from
+            # the abandoned run make periodic saves silently no-op (a
+            # later resume would restore the ABANDONED state) and the
+            # final forced save raise StepAlreadyExistsError.
+            shutil.rmtree(directory)
         self._mgr = ocp.CheckpointManager(
-            os.path.abspath(directory),
+            directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps,

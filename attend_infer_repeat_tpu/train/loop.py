@@ -129,7 +129,8 @@ def train(config: Config | str, workdir: str = "runs/default",
           f"data={config.data}", flush=True)
     print("param counts:", param_count(state.params), flush=True)
 
-    ckpt = CheckpointManager(os.path.join(workdir, "ckpt")) \
+    ckpt = CheckpointManager(os.path.join(workdir, "ckpt"),
+                             fresh=not resume) \
         if save_checkpoints else None
     best = BestCheckpointTracker(os.path.join(workdir, "ckpt_best"),
                                  fresh=not resume) \

@@ -334,6 +334,30 @@ def test_best_checkpoint_tracker(tmp_path, setup, bank):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_manager_fresh_wipes_stale_run(tmp_path, setup, bank):
+    """``fresh=True`` (--no-resume) wipes stale step dirs: otherwise a
+    restarted run's periodic saves at previously-saved steps silently
+    no-op (leaving the ABANDONED run's state restorable) and its final
+    forced save raises orbax StepAlreadyExistsError."""
+    cfg, model, state = setup
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    s1, _ = step(state)          # step 1
+
+    d = str(tmp_path / "ckpt")
+    m = CheckpointManager(d)
+    assert m.save(s1)
+    m.wait()
+    m.close()
+
+    m2 = CheckpointManager(d, fresh=True)
+    assert m2.restore(state) is None          # stale run gone
+    assert m2.save(s1, force=True)            # same step: must not raise
+    m2.wait()
+    restored = m2.restore(state)
+    m2.close()
+    assert restored is not None and int(restored.step) == 1
+
+
 def test_best_checkpoint_tracker_fresh_wipes_stale_run(tmp_path, setup,
                                                        bank):
     """``fresh=True`` (--no-resume) must wipe the whole ckpt_best tree:
