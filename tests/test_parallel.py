@@ -66,6 +66,38 @@ def test_dp_train_step_matches_single_device():
         float(m_dp["grad_norm"]), rel=1e-4)
 
 
+def test_serving_infer_sharded_matches_single_device():
+    """Sharded serving (SURVEY §3.1: 'expose mesh axis for the serving
+    sweep config'): infer over a data mesh returns the same numbers as
+    single-device infer on the identical batch."""
+    from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.serving import make_infer_fn
+    from attend_infer_repeat_tpu.train import create_train_state
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model, use_baseline=False)
+    imgs, _ = make_synth_fn(cfg.data, bank)(jax.random.key(0), 16)
+    state = create_train_state(cfg, model, imgs)
+
+    key = jax.random.key(3)
+    out_single = make_infer_fn(cfg, model)(state.params, imgs, key)
+
+    mesh = make_mesh(8)
+    params_dp = jax.device_put(state.params, replicate(mesh))
+    imgs_dp = jax.device_put(imgs, batch_sharding(mesh, imgs.ndim))
+    with mesh:
+        out_dp = make_infer_fn(cfg, model, mesh=mesh)(params_dp, imgs_dp,
+                                                      key)
+    assert len(out_dp["canvas"].sharding.device_set) == 8
+    for k in ("elbo", "canvas", "presence", "num_steps_pmf"):
+        np.testing.assert_allclose(np.asarray(out_single[k]),
+                                   np.asarray(out_dp[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+
+
 def test_shardmap_matches_gspmd():
     """The explicit shard_map path computes the SAME update as the GSPMD
     path on an identical injected batch and key (VERDICT r2 #5).
