@@ -51,13 +51,23 @@ def make_infer_fn(config: Config, model: AIRModel, mesh=None) -> Callable:
     return infer
 
 
-def make_generate_fn(config: Config, model: AIRModel) -> Callable:
-    """``(params, key, batch) → imgs`` — sample scenes from the prior."""
+def make_generate_fn(config: Config, model: AIRModel,
+                     mesh=None) -> Callable:
+    """``(params, key, batch) → imgs`` — sample scenes from the prior.
+
+    With a ``mesh``, the generated batch is constrained to the data axis;
+    generation is batch-parallel, so the output constraint propagates
+    back through the whole program and GSPMD shards it across devices
+    (same mechanism as sharded inference).
+    """
+    from attend_infer_repeat_tpu.parallel.sharding import constrain_batch
+
     p_success = config.prior.final_success_prob
 
     @functools.partial(jax.jit, static_argnums=2)
     def generate(params, key, batch: int):
-        return model.apply(params, key, batch, p_success,
+        imgs = model.apply(params, key, batch, p_success,
                            method=AIRModel.generate)
+        return constrain_batch(imgs, mesh)
 
     return generate

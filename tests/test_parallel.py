@@ -98,6 +98,34 @@ def test_serving_infer_sharded_matches_single_device():
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+def test_serving_generate_sharded_matches_single_device():
+    """Sharded generation: the output-sharding constraint distributes
+    the batch-parallel program without changing its samples."""
+    from attend_infer_repeat_tpu.data import load_digit_bank, make_synth_fn
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.serving import make_generate_fn
+    from attend_infer_repeat_tpu.train import create_train_state
+    from tests.test_train import tiny_config
+
+    cfg = tiny_config()
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model, use_baseline=False)
+    imgs, _ = make_synth_fn(cfg.data, bank)(jax.random.key(0), 16)
+    state = create_train_state(cfg, model, imgs)
+
+    key = jax.random.key(9)
+    imgs_single = make_generate_fn(cfg, model)(state.params, key, 16)
+
+    mesh = make_mesh(8)
+    params_dp = jax.device_put(state.params, replicate(mesh))
+    with mesh:
+        imgs_dp = make_generate_fn(cfg, model, mesh=mesh)(params_dp, key,
+                                                          16)
+    assert len(imgs_dp.sharding.device_set) == 8
+    np.testing.assert_allclose(np.asarray(imgs_single),
+                               np.asarray(imgs_dp), rtol=1e-5, atol=1e-6)
+
+
 def test_shardmap_matches_gspmd():
     """The explicit shard_map path computes the SAME update as the GSPMD
     path on an identical injected batch and key (VERDICT r2 #5).
