@@ -141,6 +141,39 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
     return ips
 
 
+def _require_backend(timeout_s: int = 300):
+    """Fail fast (one diagnostic JSON line + exit 1) if the accelerator
+    backend is unreachable.
+
+    The remote-TPU tunnel can die out from under the host (observed
+    2026-08-17: the relay exits on orchestrator EOF and every client
+    then blocks forever in backend init).  A bench that hangs forever is
+    strictly worse than one that reports the outage.  The probe runs in
+    a subprocess: the hang sits in native code on the main thread (a
+    futex wait inside backend init), where an in-process SIGALRM
+    handler can never run — but SIGKILL on a child always works.
+    """
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run([sys.executable, "-c", "import jax; jax.devices()"],
+                       timeout=timeout_s, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return
+    except subprocess.TimeoutExpired:
+        err = (f"accelerator backend unreachable (jax.devices() hung "
+               f"> {timeout_s}s in a probe subprocess — TPU tunnel down?)")
+    except subprocess.CalledProcessError as e:
+        err = f"backend probe failed (rc={e.returncode})"
+    print(json.dumps({
+        "metric": "canonical train-step throughput "
+                  "(multi-MNIST images/sec/chip)",
+        "value": 0, "unit": "images/sec", "vs_baseline": 0,
+        "error": err}), flush=True)
+    os._exit(1)
+
+
 def main():
     from attend_infer_repeat_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -157,6 +190,9 @@ def main():
                         "pre-synthesized dataset instead of per-step "
                         "on-device synthesis")
     args = p.parse_args()
+
+    if not args.measure_cpu_baseline:
+        _require_backend()
 
     if args.measure_cpu_baseline:
         jax.config.update("jax_platforms", "cpu")
