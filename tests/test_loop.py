@@ -41,6 +41,30 @@ def test_train_loop_from_pickle(tmp_path, resident):
     assert all(np.isfinite(r["elbo"]) for r in rows if "elbo" in r)
 
 
+def test_train_loop_no_resume_restarts_cleanly(tmp_path):
+    """``resume=False`` into an existing workdir restarts from step 0 and
+    must not trip over the abandoned run's checkpoints (stale step dirs
+    previously made periodic saves no-op and the final forced save raise
+    orbax StepAlreadyExistsError)."""
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=100,
+                      save_every=2, eval_batches=1)
+    workdir = str(tmp_path / "run")
+
+    state = train(cfg, workdir=workdir, use_tensorboard=False)
+    assert int(state.step) == 4
+
+    # restart the SAME workdir from scratch: final save lands at step 4
+    # again — the stale step-4 checkpoint must be gone, and the restart
+    # must not resume from step 4
+    state2 = train(cfg, workdir=workdir, use_tensorboard=False,
+                   resume=False)
+    assert int(state2.step) == 4
+    ckpts = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(workdir, "ckpt", "*"))
+                   if os.path.basename(p).isdigit())
+    assert ckpts, "fresh run saved no checkpoints"
+
+
 @pytest.mark.slow
 def test_train_loop_end_to_end(tmp_path):
     cfg = tiny_config(n_iters=30, log_every=10, fig_every=30,
