@@ -35,7 +35,7 @@ def make_variant(name: str):
     known = {"base", "cap62", "cap70", "tight", "glim28",
              "advnorm", "clip10", "softlik",
              "prior3", "sharplik", "prior3_sharplik", "prior3_glim28",
-             "prior2", "priormild"}
+             "prior2", "priormild", "slimdec", "what20"}
     if name not in known:
         raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
     m = dict()
@@ -104,6 +104,24 @@ def make_variant(name: str):
     elif name == "prior3_sharplik":
         pr.update(final_success_prob=1e-3)
         m.update(output_std=0.10)
+    # --- capacity-channel probes (r4): the dose response saturates at
+    # ~0.95 for EVERY softened count prior (1e-5..0.3), and the metrics
+    # trajectories show the decline arriving with the where/what KL
+    # warmup — the residual 2->1 merges happen because a single window's
+    # z_what can encode a two-digit composite for fewer KL nats than a
+    # second object costs (~17-20).  That channel can't be closed on the
+    # KL side (the saved nats are information-theoretic), but it CAN be
+    # closed on the capacity side: if the decoder/latent can render one
+    # digit crisply but not a composite, the merge pays likelihood
+    # instead and should lose.  glim28 (sharper decode) and sharplik
+    # (bigger stake) were likelihood-side probes and failed; these limit
+    # the REPRESENTATION. ---
+    elif name == "slimdec":
+        m.update(decoder_hidden=(64,))        # 256->64: single digits fit,
+        # two-digit composites degrade disproportionately
+    elif name == "what20":
+        m.update(n_what=20)                   # 50->20 latent dims: room
+        # for one digit's identity+style, not two
     return dataclasses.replace(
         cfg, name=f"u28_probe_{name}",
         model=dataclasses.replace(cfg.model, **m),
