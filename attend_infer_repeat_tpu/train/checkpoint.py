@@ -6,7 +6,11 @@ The checkpoint unit is the whole ``TrainState`` — params, both optimizer
 groups' state, the step counter, and the RNG base key — so a restore
 resumes bitwise-identically (the anneal schedule position is implied by
 ``step``, exactly like the reference's ``global_step``; SURVEY §8 hard
-part 4).
+part 4).  Scope: bitwise covers the on-device data paths (synthesis /
+HBM-resident), where batches are keyed off ``state.step``.  The
+host-streamed pickle iterator's position is host state outside the
+checkpoint; on resume the loop reseeds it from the restored step so the
+continuation draws fresh batch order instead of replaying epoch 0.
 """
 
 from __future__ import annotations
@@ -123,8 +127,12 @@ class BestCheckpointTracker:
         step = int(state.step)
         if self.best is not None and float(value) <= self.best:
             return False
-        if step == self.best_step:          # same step re-offered
-            return False
+        if step == self.best_step:
+            # same step re-offered with a strictly BETTER value (eval
+            # nondeterminism or a changed eval protocol on resume): the
+            # step directory already exists, so clear it before re-saving
+            # rather than dropping the better snapshot
+            self._mgr.delete(step)
         self.best = float(value)
         self.best_step = step
         self._mgr.save(step, args=ocp.args.StandardSave(state), force=True)

@@ -78,44 +78,54 @@ def train(config: Config | str, workdir: str = "runs/default",
             # whole dataset pinned in HBM; the step gathers minibatches
             # from on-device random indices (no host transfer on the hot
             # path — composes with the scan dispatch amortizer)
-            train_iter = None
+            stream_data = False
             device_data = (jnp.asarray(train_ds.imgs, jnp.float32),
                            jnp.asarray(train_ds.nums, jnp.int32))
         else:
-            train_iter = train_ds.batches(tcfg.batch_size, seed=tcfg.seed)
+            # iterator created AFTER restore (seeded off the resumed step
+            # so a resumed run continues with fresh batch order instead of
+            # replaying epoch 0 — the iterator position itself is host
+            # state and not part of the checkpoint)
+            stream_data = True
             device_data = None
 
-        def eval_synth(key, batch):
-            # deterministic fixed batches from the validation set; the key
-            # only selects which batch (same signature as the synth path)
-            i = int(jax.random.randint(key, (), 0, max(
-                len(eval_ds) // batch, 1)))
-            lo = i * batch
+        def eval_synth(key, batch, i=0):
+            # fixed ROUND-ROBIN batches from the validation set: slot i of
+            # the eval pass maps to a distinct slice (sampling batch
+            # indices from the key would draw with replacement and
+            # double-weight duplicates); the key is unused here but keeps
+            # the synth-path signature
+            lo = (i % max(len(eval_ds) // batch, 1)) * batch
             return (jnp.asarray(eval_ds.imgs[lo:lo + batch]),
                     jnp.asarray(eval_ds.nums[lo:lo + batch]))
 
-        def train_eval_synth(key, batch):
+        def train_eval_synth(key, batch, i=0):
             # fixed held-in batches (reference make_logger evaluates the
             # TRAIN split over fixed batches too — SURVEY §4.5)
-            i = int(jax.random.randint(key, (), 0, max(
-                len(train_ds) // batch, 1)))
-            lo = i * batch
+            lo = (i % max(len(train_ds) // batch, 1)) * batch
             return (jnp.asarray(train_ds.imgs[lo:lo + batch]),
                     jnp.asarray(train_ds.nums[lo:lo + batch]))
 
         sample_imgs = jnp.asarray(train_ds.imgs[:tcfg.batch_size])
     else:
-        train_iter = None
+        stream_data = False
         device_data = None
         train_bank, _ = load_digit_bank(
             config.data.source, config.data.digit_size, split="train")
         eval_bank, _ = load_digit_bank(
             config.data.source, config.data.digit_size, split="eval")
-        eval_synth = make_synth_fn(config.data, eval_bank)
+        _ev_fn = make_synth_fn(config.data, eval_bank)
         # train-split eval batches: same synthesis distribution but from
         # the TRAIN digit bank, under a fixed key namespace → fixed
         # held-in batches every log point
-        train_eval_synth = make_synth_fn(config.data, train_bank)
+        _trev_fn = make_synth_fn(config.data, train_bank)
+
+        def eval_synth(key, batch, i=0):
+            # synthesis path: the folded key already makes slot i distinct
+            return _ev_fn(key, batch)
+
+        def train_eval_synth(key, batch, i=0):
+            return _trev_fn(key, batch)
         sample_key = jax.random.key(tcfg.seed)
         sample_imgs, _ = make_synth_fn(config.data, train_bank)(
             sample_key, tcfg.batch_size)
@@ -135,11 +145,29 @@ def train(config: Config | str, workdir: str = "runs/default",
     best = BestCheckpointTracker(os.path.join(workdir, "ckpt_best"),
                                  fresh=not resume) \
         if (save_checkpoints and tcfg.best_metric) else None
+    if not resume:
+        # --no-resume restarts clean: the stale run's metrics/figures
+        # must not interleave with (metrics.jsonl is append-only) or
+        # outlive (fig_*.png feeds the GIF stitcher) the fresh run's
+        import glob
+        import shutil
+        for p in glob.glob(os.path.join(workdir, "fig_*.png")):
+            os.remove(p)
+        for p in (os.path.join(workdir, "metrics.jsonl"),):
+            if os.path.exists(p):
+                os.remove(p)
+        tb_dir = os.path.join(workdir, "tb")
+        if os.path.isdir(tb_dir):
+            shutil.rmtree(tb_dir)
     if ckpt is not None and resume:
         restored = ckpt.restore(state)
         if restored is not None:
             state = restored
             print(f"resumed from step {int(state.step)}", flush=True)
+
+    train_iter = train_ds.batches(
+        tcfg.batch_size, seed=tcfg.seed + int(state.step)) \
+        if stream_data else None
 
     train_step = make_train_step(config, model, digit_bank=train_bank,
                                  device_data=device_data)
@@ -177,19 +205,23 @@ def train(config: Config | str, workdir: str = "runs/default",
     def eval_batches():
         for i in range(tcfg.eval_batches):
             yield eval_synth(jax.random.fold_in(eval_key, i),
-                             tcfg.batch_size)
+                             tcfg.batch_size, i)
 
     def train_eval_batches():
         for i in range(tcfg.eval_batches):
             yield train_eval_synth(jax.random.fold_in(train_eval_key, i),
-                                   tcfg.batch_size)
+                                   tcfg.batch_size, i)
 
     start = int(state.step)
     figs_enabled = True    # flips off once if matplotlib (the optional
     it = start             # [viz] extra) is absent — training continues
     while it < n_iters:
         if train_iter is None:
-            if k_scan > 1 and n_iters - it >= k_scan:
+            # scan chunks only from k_scan-aligned steps: a resume from a
+            # non-multiple step (e.g. a run stopped by --iters not on the
+            # grid) first single-steps back onto the grid, keeping step_no
+            # aligned with the log/fig/save intervals
+            if k_scan > 1 and it % k_scan == 0 and n_iters - it >= k_scan:
                 state, chunk = scan_step(state)
                 metrics = jax.tree.map(lambda a: a[-1], chunk)
                 it += k_scan

@@ -181,7 +181,8 @@ def main():
     p.add_argument("--measure-cpu-baseline", action="store_true",
                    help="measure the CPU stand-in baseline and cache it")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--dtype", default=None)
+    p.add_argument("--dtype", default=None,
+                   choices=["float32", "bfloat16"])
     p.add_argument("--scan-steps", type=int, default=None)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--resident-data", type=int, default=0, metavar="N",

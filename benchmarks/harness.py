@@ -67,33 +67,43 @@ def _time_fn(fn, *args, n_warmup=3, n_timed=20):
     return (time.perf_counter() - t0) / n_timed
 
 
-def bench_train(batch_sizes=(64, 256, 1024)):
-    from attend_infer_repeat_tpu.configs import get_config
-    from attend_infer_repeat_tpu.data import load_digit_bank
+def _time_train_step(config, bank):
+    """step_ms for one jitted canonical train step at ``config``.
+
+    Threads the donated state through a mutable box so each timed call
+    consumes the previous call's output (the real hot-loop pattern).
+    Shared by bench_train and bench_train_st.
+    """
     from attend_infer_repeat_tpu.models.air import AIRModel
     from attend_infer_repeat_tpu.train import (
         create_train_state,
         make_train_step,
     )
 
+    model = AIRModel(config.model)
+    imgs = jnp.zeros((config.train.batch_size,) + config.model.img_size)
+    state = create_train_state(config, model, imgs)
+    step = make_train_step(config, model, digit_bank=bank)
+    state_box = [state]
+
+    def run():
+        s, m = step(state_box[0])
+        state_box[0] = s
+        return m
+
+    return _time_fn(run)
+
+
+def bench_train(batch_sizes=(64, 256, 1024)):
+    from attend_infer_repeat_tpu.configs import get_config
+    from attend_infer_repeat_tpu.data import load_digit_bank
+
     base = get_config("canonical")
     bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
     for bs in batch_sizes:
         config = dataclasses.replace(
             base, train=dataclasses.replace(base.train, batch_size=bs))
-        model = AIRModel(config.model)
-        imgs = jnp.zeros((bs,) + config.model.img_size)
-        state = create_train_state(config, model, imgs)
-        step = make_train_step(config, model, digit_bank=bank)
-
-        state_box = [state]
-
-        def run():
-            s, m = step(state_box[0])
-            state_box[0] = s
-            return m
-
-        dt = _time_fn(run)
+        dt = _time_train_step(config, bank)
         _record({"bench": "train_step", "config": "canonical",
                  "batch_size": bs, "step_ms": dt * 1e3,
                  "images_per_sec": bs / dt})
@@ -105,11 +115,6 @@ def bench_train_st(batch_sizes=(256, 1024, 4096)):
     micro-benchmark alone doesn't settle it; VERDICT r1 weak #5)."""
     from attend_infer_repeat_tpu.configs import get_config
     from attend_infer_repeat_tpu.data import load_digit_bank
-    from attend_infer_repeat_tpu.models.air import AIRModel
-    from attend_infer_repeat_tpu.train import (
-        create_train_state,
-        make_train_step,
-    )
 
     base = get_config("canonical")
     bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
@@ -122,19 +127,7 @@ def bench_train_st(batch_sizes=(256, 1024, 4096)):
                 base,
                 model=dataclasses.replace(base.model, st_method=method),
                 train=dataclasses.replace(base.train, batch_size=bs))
-            model = AIRModel(config.model)
-            imgs = jnp.zeros((bs,) + config.model.img_size)
-            state = create_train_state(config, model, imgs)
-            step = make_train_step(config, model, digit_bank=bank)
-
-            state_box = [state]
-
-            def run():
-                s, m = step(state_box[0])
-                state_box[0] = s
-                return m
-
-            dt = _time_fn(run)
+            dt = _time_train_step(config, bank)
             _record({"bench": "train_step_st", "config": "canonical",
                      "st_method": method, "batch_size": bs,
                      "step_ms": dt * 1e3, "images_per_sec": bs / dt})

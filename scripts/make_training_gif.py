@@ -60,7 +60,7 @@ def main() -> int:
         # palette quantization: GIF is 256-color; ADAPTIVE keeps the
         # grayscale digits + colored attention boxes legible
         imgs.append(im.quantize(colors=256, method=Image.FASTOCTREE))
-    imgs.extend([imgs[-1]] * max(0, args.hold_last - 1))
+    imgs.extend([imgs[-1]] * max(0, args.hold_last))
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     imgs[0].save(args.out, save_all=True, append_images=imgs[1:],

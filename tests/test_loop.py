@@ -53,6 +53,17 @@ def test_train_loop_no_resume_restarts_cleanly(tmp_path):
     state = train(cfg, workdir=workdir, use_tensorboard=False)
     assert int(state.step) == 4
 
+    # plant stale artifacts the fresh run must not inherit: a sentinel
+    # metrics row (append-only jsonl would interleave two runs) and a
+    # figure from a "longer abandoned run" (would outlive the fresh run's
+    # frames and corrupt the GIF stitcher's ordering)
+    with open(os.path.join(workdir, "metrics.jsonl"), "a") as f:
+        f.write(json.dumps({"step": 999999, "split": "train",
+                            "sentinel": 1.0}) + "\n")
+    stale_fig = os.path.join(workdir, "fig_9999999.png")
+    with open(stale_fig, "wb") as f:
+        f.write(b"stale")
+
     # restart the SAME workdir from scratch: final save lands at step 4
     # again — the stale step-4 checkpoint must be gone, and the restart
     # must not resume from step 4
@@ -63,6 +74,42 @@ def test_train_loop_no_resume_restarts_cleanly(tmp_path):
                    glob.glob(os.path.join(workdir, "ckpt", "*"))
                    if os.path.basename(p).isdigit())
     assert ckpts, "fresh run saved no checkpoints"
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    assert not any(r.get("sentinel") for r in rows), \
+        "stale metrics survived --no-resume"
+    assert max(r["step"] for r in rows) <= 4
+    assert not os.path.exists(stale_fig), "stale figure survived"
+
+
+def test_train_loop_scan_resume_realigns_to_grid(tmp_path):
+    """A scan-driven run resumed from a step that is NOT a multiple of
+    scan_steps must single-step back onto the k-grid: otherwise every
+    subsequent chunk lands off the log/save intervals and the whole
+    continuation produces no periodic logs or checkpoints."""
+    import numpy as np
+
+    workdir = str(tmp_path / "run")
+    cfg = tiny_config(n_iters=3, log_every=2, fig_every=100, save_every=2,
+                      eval_batches=1, scan_steps=2)
+    state = train(cfg, workdir=workdir, use_tensorboard=False)
+    assert int(state.step) == 3          # off the k=2 grid on purpose
+
+    cfg2 = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, n_iters=7))
+    state2 = train(cfg2, workdir=workdir, use_tensorboard=False)
+    assert int(state2.step) == 7
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    logged = {r["step"] for r in rows if r["split"] == "train"}
+    # periodic log points of the continuation (multiples of log_every=2
+    # past the resume step) must exist — 4 and 6 — plus the final step
+    assert {4, 6, 7} <= logged, f"continuation log points missing: {logged}"
+    ckpts = {int(os.path.basename(p)) for p in
+             glob.glob(os.path.join(workdir, "ckpt", "*"))
+             if os.path.basename(p).isdigit()}
+    assert any(s in ckpts for s in (4, 6)), \
+        f"no periodic checkpoint on the grid after resume: {ckpts}"
 
 
 @pytest.mark.slow

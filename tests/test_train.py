@@ -316,13 +316,16 @@ def test_best_checkpoint_tracker(tmp_path, setup, bank):
     assert tr.offer(s1, 0.50)            # first value always snapshots
     assert not tr.offer(s2, 0.40)        # worse -> ignored
     assert tr.offer(s3, 0.75)            # better -> replaces
-    assert not tr.offer(s3, 0.90)        # same step re-offered -> ignored
+    assert not tr.offer(s3, 0.75)        # same step, same value -> ignored
+    # same step with a strictly BETTER value (eval nondeterminism /
+    # changed eval protocol on resume): must replace, not silently drop
+    assert tr.offer(s3, 0.90)
     tr.wait()
     tr.close()
 
     # a fresh tracker resumes the best value from the sidecar
     tr2 = BestCheckpointTracker(d)
-    assert tr2.best == pytest.approx(0.75)
+    assert tr2.best == pytest.approx(0.90)
     assert tr2.best_step == 3
     assert not tr2.offer(s2, 0.60)       # resume never regresses
     restored = tr2.restore(state)
