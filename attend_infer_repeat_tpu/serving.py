@@ -52,8 +52,17 @@ def make_infer_fn(config: Config, model: AIRModel, mesh=None) -> Callable:
 
 
 def make_generate_fn(config: Config, model: AIRModel,
-                     mesh=None) -> Callable:
+                     mesh=None,
+                     success_prob: Optional[float] = None) -> Callable:
     """``(params, key, batch) → imgs`` — sample scenes from the prior.
+
+    ``success_prob`` sets the geometric count prior the scenes are drawn
+    from.  The default (``None`` → 1.0, i.e. uniform over 0..max_steps)
+    matches the data's uniform count distribution; the trained model's
+    own *annealed* prior (``config.prior.final_success_prob``, typically
+    1e-5) is a training-curriculum endpoint whose P(n=0) ≈ 1 — sampling
+    it yields almost exclusively empty canvases, so callers must opt
+    into it explicitly.
 
     With a ``mesh``, the generated batch is constrained to the data axis;
     generation is batch-parallel, so the output constraint propagates
@@ -62,7 +71,7 @@ def make_generate_fn(config: Config, model: AIRModel,
     """
     from attend_infer_repeat_tpu.parallel.sharding import constrain_batch
 
-    p_success = config.prior.final_success_prob
+    p_success = 1.0 if success_prob is None else success_prob
 
     @functools.partial(jax.jit, static_argnums=2)
     def generate(params, key, batch: int):

@@ -140,6 +140,25 @@ def test_serving_infer_and_generate(setup):
     assert bool(jnp.isfinite(samples).all())
 
 
+def test_generate_count_prior_knob(setup):
+    """Default generation draws a uniform count prior (non-empty scenes);
+    the annealed training endpoint (q≈0) must be an explicit opt-in and
+    yields (near-)all-empty canvases because P(n=0) ≈ 1."""
+    cfg, model, state, _ = setup
+    key = jax.random.key(13)
+    n = 64
+
+    uniform = make_generate_fn(cfg, model)(state.params, key, n)
+    collapsed = make_generate_fn(cfg, model, success_prob=1e-5)(
+        state.params, key, n)
+
+    per_img = lambda x: np.asarray(jnp.abs(x).sum(axis=(1, 2)))
+    # Uniform over 0..max_steps: ≫ half the scenes contain ≥1 object.
+    assert (per_img(uniform) > 0).mean() > 0.5
+    # q=1e-5: pmf(0) ≈ 1, so essentially every canvas is empty.
+    assert (per_img(collapsed) == 0).mean() > 0.9
+
+
 def test_count_confusion(setup):
     from attend_infer_repeat_tpu.eval import count_confusion, format_confusion
     from attend_infer_repeat_tpu.train import make_eval_step
