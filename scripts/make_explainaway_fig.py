@@ -41,9 +41,24 @@ def main():
     p.add_argument("--batch", type=int, default=1024)
     p.add_argument("--min-iou", type=float, default=0.02,
                    help="min IoU between the two inferred windows")
+    p.add_argument("--model-set", action="append", metavar="KEY=VALUE",
+                   help="ModelConfig overrides matching the trained "
+                        "variant (same syntax as eval_checkpoint.py)")
     args = p.parse_args()
 
+    import ast
+
     cfg = get_config(args.config)
+    if args.model_set:
+        kw = {}
+        for item in args.model_set:
+            k, _, v = item.partition("=")
+            k = k.strip()
+            if k not in {f.name for f in dataclasses.fields(cfg.model)}:
+                raise SystemExit(f"ModelConfig has no field {k!r}")
+            kw[k] = ast.literal_eval(v)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, **kw))
     dcfg = dataclasses.replace(cfg.data, min_digits=2, max_digits=2)
     model = AIRModel(cfg.model, use_baseline=cfg.train.use_baseline)
     bank, _ = load_digit_bank(cfg.data.source, cfg.data.digit_size,

@@ -144,7 +144,10 @@ def main():
     cfg = make_variant(args.variant)
     cfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, seed=args.seed))
-    train(cfg, workdir=f"runs/u28_probe_{args.variant}",
+    # Seed 0 keeps the historical workdir (campaigns r3-r8 cite it);
+    # other seeds get their own so restore-or-init never cross-resumes.
+    suffix = "" if args.seed == 0 else f"_s{args.seed}"
+    train(cfg, workdir=f"runs/u28_probe_{args.variant}{suffix}",
           n_iters=args.iters, use_tensorboard=False)
 
 
