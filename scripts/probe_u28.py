@@ -32,7 +32,7 @@ from attend_infer_repeat_tpu.configs import get_config
 
 def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
-    known = {"base", "cap62", "cap70", "tight", "glim28",
+    known = {"base", "cap62", "cap70", "tight", "glim28", "dec128",
              "advnorm", "clip10", "softlik",
              "prior3", "sharplik", "prior3_sharplik", "prior3_glim28",
              "prior2", "priormild", "slimdec", "what20"}
@@ -119,6 +119,10 @@ def make_variant(name: str):
     elif name == "slimdec":
         m.update(decoder_hidden=(64,))        # 256->64: single digits fit,
         # two-digit composites degrade disproportionately
+    elif name == "dec128":
+        m.update(decoder_hidden=(128,))       # decoder-width dose point
+        # between slimdec (64, holds 0.977@8k on the CPU pre-screen) and
+        # the shipped 256 (declines to 0.941): locates the capacity knee
     elif name == "what20":
         m.update(n_what=20)                   # 50->20 latent dims: room
         # for one digit's identity+style, not two
