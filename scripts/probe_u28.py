@@ -32,7 +32,7 @@ from attend_infer_repeat_tpu.configs import get_config
 
 def make_variant(name: str):
     cfg = get_config("canonical_uniform28")
-    known = {"base", "cap62", "cap70", "tight", "glim28", "dec128",
+    known = {"base", "cap62", "cap70", "tight", "glim28", "dec128", "what32", "what20prior5",
              "advnorm", "clip10", "softlik",
              "prior3", "sharplik", "prior3_sharplik", "prior3_glim28",
              "prior2", "priormild", "slimdec", "what20"}
@@ -126,6 +126,16 @@ def make_variant(name: str):
     elif name == "what20":
         m.update(n_what=20)                   # 50->20 latent dims: room
         # for one digit's identity+style, not two
+    elif name == "what32":
+        m.update(n_what=32)                   # latent-dose point: is 20
+        # the knee, or does a milder cut already delete the merge?
+    elif name == "what20prior5":
+        # capacity fix + the ORIGINAL harsh count prior: if the 20-dim
+        # z_what alone deletes the merge optimum, the 1e-3 dose tuning
+        # (shipped after the r3/r4 dose response) becomes unnecessary
+        # and the preset can return to the reference-style endpoint
+        m.update(n_what=20)
+        pr.update(final_success_prob=1e-5)
     return dataclasses.replace(
         cfg, name=f"u28_probe_{name}",
         model=dataclasses.replace(cfg.model, **m),
