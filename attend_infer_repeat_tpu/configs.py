@@ -380,7 +380,17 @@ PRESETS = {
         # this distribution incl. every IoU>=0.5 pair
         # (scripts/supervised_ceiling.py) — it is the structured
         # generative model's one-window-per-object inductive-bias gap.
-        model=ModelConfig(explore_eps=0.05, output_std=0.15,
+        # n_what=20 is the capacity fix for the residual 2->1 merges
+        # (r5 CPU pre-screen + r10 TPU confirmation): a 20-dim z_what
+        # holds one digit's identity+style but NOT a two-digit
+        # composite, so a merged window pays likelihood instead of
+        # saving KL — and it removes ~30 dims of per-object KL
+        # overhead.  3 TPU seeds at 60k steps: 0.9924/0.9927/0.9932
+        # held-out (16,384 images each) with ELBO 2322-2325, vs
+        # 0.935-0.948 at n_what=50 even after 150k
+        # (runs/u28_probe_what20*_eval.log vs runs/u28_seed*).
+        model=ModelConfig(n_what=20,
+                          explore_eps=0.05, output_std=0.15,
                           where_prior_loc=(0.48, 0.48, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.62),

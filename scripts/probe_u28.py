@@ -38,10 +38,16 @@ def make_variant(name: str):
              "prior2", "priormild", "slimdec", "what20"}
     if name not in known:
         raise SystemExit(f"unknown variant {name!r}; have {sorted(known)}")
-    m = dict()
+    # All probes are defined relative to the FROZEN r3/r4 baseline
+    # preset (n_what=50) — the capacity fix later shipped n_what=20
+    # into canonical_uniform28 itself, and inheriting that flip would
+    # confound every non-what variant (the exact ablation-inheritance
+    # bug ADVICE r1 flagged on ablate_canonical.py).  Pin it; the
+    # what-variants override it below.
+    m = dict(n_what=50)
     d = dict()
     if name == "base":
-        pass                                  # the preset exactly as shipped
+        pass                                  # the r3/r4 baseline exactly
     elif name == "cap62":
         d.update(scale_range=(0.7, 1.0))
         m.update(max_scale=0.62,

@@ -57,3 +57,7 @@ def test_uniform28_is_the_reference_geometry():
     # "possibly rescaled" (SURVEY §1.4): a non-degenerate range with
     # some digits actually shrunk — (1.0, 1.0) must fail this
     assert lo < 1.0 and lo < hi, "digits must be possibly rescaled"
+    # capacity fix pinned: 20-dim z_what cannot encode a two-digit
+    # composite, which is what deletes the residual 2->1 merges
+    # (runs/u28_probe_what20*_eval.log: 0.992-0.993 on 3 seeds)
+    assert cfg.model.n_what == 20
