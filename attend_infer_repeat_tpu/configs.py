@@ -102,9 +102,12 @@ class ModelConfig:
     # Rematerialize the scanned cell in the backward pass
     # (``jax.checkpoint`` via ``nn.remat``): recompute each object step's
     # activations instead of saving them to HBM.  The train step is
-    # measured HBM-bandwidth-bound at ~3-4% MFU (bench.py roofline), so
-    # trading recompute FLOPs for HBM traffic is the right direction on
-    # TPU; gate stays off by default pending the measured win.
+    # measured HBM-bandwidth-bound at ~5% MFU (bench.py roofline), so
+    # trading recompute FLOPs for HBM traffic wins at training batch
+    # sizes (+10% at batch 1024, BASELINE.md r3 decomposition); the
+    # dataclass default stays off (reference semantics), the TPU presets
+    # ship it on.  At batch 64 the traffic is param/opt-state reads, not
+    # activations, and remat HURTS — the `canonical` preset keeps it off.
     remat: bool = False
 
 
@@ -251,11 +254,15 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True),
         data=DataConfig(min_digits=1, max_digits=1),
+        # stays f32/no-remat: this is the CPU-runnable golden config
+        # (SURVEY §5); scan_steps is numerics-neutral dispatch
+        # amortization and rides fine on both backends.
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=10_000,
                           n_iters=50_000, log_every=500,
-                          fig_every=5_000, save_every=5_000),
+                          fig_every=5_000, save_every=5_000,
+                          scan_steps=20),
         prior=PriorAnnealConfig(final_success_prob=0.5,
                                 anneal_start=1_000, anneal_steps=10_000),
     ),
@@ -272,7 +279,13 @@ PRESETS = {
     # (ref: accuracy 0.291, E[n]→0; ref+expl: 0.916 at 150k).
     "canonical": _preset(
         "canonical",
-        model=ModelConfig(explore_eps=0.05)),
+        model=ModelConfig(explore_eps=0.05),
+        # Literal regime otherwise (f32, no remat: at batch 64 remat is
+        # measured slower — param traffic, not activations, dominates).
+        # scan_steps is numerics-neutral (the scan body IS the per-step
+        # body) and amortizes the ~0.9 ms host dispatch that dominates
+        # batch-64 steps: 20.2k → ~180k img/s (BASELINE.md r3 row).
+        train=TrainConfig(scan_steps=50)),
     # 2b. TPU-native training regime for the canonical task: large batch
     # (REINFORCE variance ∝ 1/batch; batch 1024 is ~free on a v5e) with
     # proportionally larger learning rates and a faster prior anneal.
@@ -296,9 +309,18 @@ PRESETS = {
         # two grid-separated digits (min merged span ≥ 0.76), so the
         # model decomposes from the first steps — 0.982 mode accuracy at
         # 40k (ELBO unchanged; runs/probe_maxscale045).
+        # Shipped operating point = the measured-best trainer (r3 bench
+        # decomposition, BASELINE.md): bf16 compute (+29%; end-to-end
+        # quality validated — 1.0000 held-out accuracy, ELBO within 0.5%
+        # of f32), remat (+10%: the step is HBM-bound at batch 1024, so
+        # recomputing scan activations beats storing them), and the
+        # K-step lax.scan dispatch amortizer (scan_steps=20: ≥16 captures
+        # the full dispatch win and divides the 500-step log interval).
+        # The preset a user runs IS the ~450k img/s step bench.py benches.
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True, max_scale=0.45),
+                          isotropic_scale=True, max_scale=0.45,
+                          dtype="bfloat16", remat=True),
         # cosine lr decay to 0.1× over the run: settles late-training
         # REINFORCE noise (robustness tail; the merge fix is max_scale).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
@@ -306,7 +328,8 @@ PRESETS = {
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
-                          fig_every=5_000, save_every=5_000),
+                          fig_every=5_000, save_every=5_000,
+                          scan_steps=20),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 2c. Reference-style task difficulty: uniform random placement with
@@ -321,14 +344,16 @@ PRESETS = {
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_loc=(0.4, 0.4, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True, max_scale=0.55),
+                          isotropic_scale=True, max_scale=0.55,
+                          dtype="bfloat16", remat=True),
         data=DataConfig(digit_size=(20, 20), placement="uniform"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
-                          fig_every=5_000, save_every=5_000),
+                          fig_every=5_000, save_every=5_000,
+                          scan_steps=20),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 3. Crowded: 0–5 digits on 100×100, 5 steps.  Same training recipe
@@ -393,7 +418,8 @@ PRESETS = {
                           explore_eps=0.05, output_std=0.15,
                           where_prior_loc=(0.48, 0.48, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True, max_scale=0.62),
+                          isotropic_scale=True, max_scale=0.62,
+                          dtype="bfloat16", remat=True),
         data=DataConfig(digit_size=(28, 28), scale_range=(0.7, 1.0),
                         placement="uniform"),
         # lr decays to 1e-5 (the reference's own lr) by 60k: the first
@@ -407,7 +433,8 @@ PRESETS = {
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
-                          fig_every=5_000, save_every=5_000),
+                          fig_every=5_000, save_every=5_000,
+                          scan_steps=20),
         # Final count-prior dose measured on this task (60k probes,
         # runs/u28_probe_*_eval.log, 8,192 held-out images): 1e-5 →
         # 0.9476 (150k), 1e-3 → 0.9515, 1e-2 → 0.9496, 0.3 → 0.9502.
@@ -429,13 +456,15 @@ PRESETS = {
         "iwae",
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
-                          isotropic_scale=True, max_scale=0.45),
+                          isotropic_scale=True, max_scale=0.45,
+                          dtype="bfloat16", remat=True),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
+                          scan_steps=20,
                           iwae_eval_particles=5),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),

@@ -31,6 +31,15 @@ def main(argv=None):
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="computation dtype override (params stay f32)")
+    p.add_argument("--scan-steps", type=int, default=None,
+                   help="train steps per lax.scan dispatch override "
+                        "(numerics-neutral; log/fig/save intervals must "
+                        "be multiples)")
+    p.add_argument("--remat", dest="remat", action="store_true",
+                   default=None,
+                   help="force backward-pass rematerialization on")
+    p.add_argument("--no-remat", dest="remat", action="store_false",
+                   help="force rematerialization off")
     p.add_argument("--st-method", default=None, choices=["xla", "pallas"],
                    help="spatial-transformer backend override")
     p.add_argument("--data", default=None, metavar="PATH",
@@ -57,12 +66,16 @@ def main(argv=None):
         overrides["learning_rate"] = args.lr
     if args.seed is not None:
         overrides["seed"] = args.seed
+    if args.scan_steps is not None:
+        overrides["scan_steps"] = args.scan_steps
     if overrides:
         config = dataclasses.replace(
             config, train=dataclasses.replace(config.train, **overrides))
     model_overrides = {}
     if args.dtype is not None:
         model_overrides["dtype"] = args.dtype
+    if args.remat is not None:
+        model_overrides["remat"] = args.remat
     if args.st_method is not None:
         model_overrides["st_method"] = args.st_method
     if model_overrides:

@@ -9,11 +9,13 @@ us to measure the denominator ourselves).  The CPU number is cached in
 ``benchmarks/baseline_cpu.json`` (regenerate with
 ``python bench.py --measure-cpu-baseline``).
 
-The headline operating point (VERDICT r2 #1):
-  - ``dtype=bfloat16`` compute (quality VALIDATED end-to-end: 1.0000
-    held-out count accuracy, BASELINE.md bf16 row);
+The headline benches the shipped ``canonical_fast`` preset VERBATIM
+(VERDICT r3 #1 — no bespoke bench-only configuration):
+  - ``dtype=bfloat16`` compute (quality VALIDATED end-to-end at this
+    exact preset: BASELINE.md cfv5 rows);
   - the K-step ``lax.scan`` driver (``train.step.make_scan_train_step``)
-    so per-step host dispatch is paid once per K steps;
+    so per-step host dispatch is paid once per K steps, and ``remat`` —
+    all three now preset fields, not bench flags;
   - roofline columns measured from the compiled program's
     ``cost_analysis()``: FLOPs → MFU vs the 197 TFLOP/s bf16 peak, and
     bytes accessed → achieved GB/s vs the ~819 GB/s v5e HBM peak — the
@@ -71,31 +73,42 @@ def _build(config):
 def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
                            batch_size: int | None = None,
                            dtype: str | None = None,
-                           scan_steps: int = 1,
-                           remat: bool = False,
+                           scan_steps: int | None = None,
+                           remat: bool | None = None,
                            with_cost: bool = False,
-                           resident_data: int = 0):
-    """Throughput of the canonical train step at one operating point.
+                           resident_data: int = 0,
+                           config_name: str = "canonical"):
+    """Throughput of a preset's train step, optionally at one override
+    operating point.
 
-    ``scan_steps > 1`` benches the K-step scanned driver (one dispatch
-    per K steps).  Returns img/s, or ``(img/s, flops_per_step,
-    bytes_per_step, ms_per_step)`` with ``with_cost``.
+    With every override ``None`` this benches the preset VERBATIM
+    (VERDICT r3 #1: the step users get from ``--config <name>`` is the
+    step the headline measures).  ``scan_steps > 1`` benches the K-step
+    scanned driver (one dispatch per K steps).  Returns img/s, or
+    ``(img/s, flops_per_step, bytes_per_step, ms_per_step)`` with
+    ``with_cost``.
     """
     from attend_infer_repeat_tpu.configs import get_config
     from attend_infer_repeat_tpu.train import make_train_step
     from attend_infer_repeat_tpu.train.step import make_scan_train_step
     import dataclasses
 
-    config = get_config("canonical")
+    config = get_config(config_name)
     repl = {}
+    tr_kw = {}
     if batch_size is not None:
-        repl["train"] = dataclasses.replace(config.train,
-                                            batch_size=batch_size)
-    if dtype is not None or remat:
+        tr_kw["batch_size"] = batch_size
+    if scan_steps is not None:
+        tr_kw["scan_steps"] = scan_steps
+    if tr_kw:
+        repl["train"] = dataclasses.replace(config.train, **tr_kw)
+    if dtype is not None or remat is not None:
         repl["model"] = dataclasses.replace(
-            config.model, dtype=dtype or config.model.dtype, remat=remat)
+            config.model, dtype=dtype or config.model.dtype,
+            remat=config.model.remat if remat is None else remat)
     if repl:
         config = dataclasses.replace(config, **repl)
+    scan_steps = max(1, config.train.scan_steps)
 
     model, state, bank = _build(config)
     device_data = None
@@ -219,6 +232,11 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan-steps", type=int, default=None)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="re-measure the full operating-point grid "
+                        "(batch × dtype × scan × remat) and report the "
+                        "winner — run once per round so the headline "
+                        "point cannot go stale (VERDICT r3 #9)")
     p.add_argument("--resident-data", type=int, default=0, metavar="N",
                    help="bench the HBM-resident fixed-dataset path "
                         "(reference-pickle workflow) with an N-image "
@@ -231,8 +249,13 @@ def main():
 
     if args.measure_cpu_baseline:
         jax.config.update("jax_platforms", "cpu")
+        # pinned to the plain f32 per-step program: the CPU number is
+        # the TF1-CPU stand-in DENOMINATOR and must not drift when the
+        # canonical preset's operating point changes
         val = measure_images_per_sec(n_warmup=2, n_timed=10,
-                                     batch_size=args.batch_size)
+                                     batch_size=args.batch_size,
+                                     dtype="float32", scan_steps=1,
+                                     remat=False)
         os.makedirs(os.path.dirname(_BASELINE_PATH), exist_ok=True)
         with open(_BASELINE_PATH, "w") as f:
             json.dump({"cpu_images_per_sec": val,
@@ -246,33 +269,64 @@ def main():
     explicit_point = (args.batch_size is not None or args.dtype is not None
                       or args.scan_steps is not None or args.remat
                       or args.resident_data)
-    if explicit_point:
+    if args.sweep:
+        # Full operating-point grid re-measure (VERDICT r3 #9: keep the
+        # headline honest under drift — if a code change moves the
+        # optimum, this finds the new winner; run once per round and
+        # record in BASELINE.md).  One JSON line per point, then the
+        # headline-format winner line.
+        from attend_infer_repeat_tpu.configs import get_config
+        best = None
+        for batch in (64, 256, 1024, 2048):
+            for dtype in ("float32", "bfloat16"):
+                for k in (1, 20):
+                    for remat in (False, True):
+                        # with_cost skipped per point (compiling the
+                        # unscanned twin doubles sweep time); the winner
+                        # is re-measured below with cost columns
+                        ips = measure_images_per_sec(
+                            n_warmup=2, n_timed=max(4, 200 // k),
+                            batch_size=batch, dtype=dtype, scan_steps=k,
+                            remat=remat, config_name="canonical")
+                        print(json.dumps({
+                            "sweep": True, "batch_size": batch,
+                            "dtype": dtype, "scan_steps": k,
+                            "remat": remat, "images_per_sec": round(ips, 1),
+                        }), flush=True)
+                        cand = (ips, batch, dtype, k, remat)
+                        if best is None or cand[0] > best[0]:
+                            best = cand
+        win_remat = best[4]
+        ips, flops, byts, ms = measure_images_per_sec(
+            batch_size=best[1], dtype=best[2], scan_steps=best[3],
+            remat=win_remat, with_cost=True, config_name="canonical")
+        best = (ips, best[1], best[2], best[3], flops, byts, ms)
+        config_tag = f"canonical grid winner (remat={win_remat})"
+    elif explicit_point:
         # any operating-point flag selects the single-point path (the
         # sweep below would silently ignore the requested point)
-        batch = args.batch_size or 1024
         ips, flops, byts, ms = measure_images_per_sec(
-            batch_size=batch, dtype=args.dtype,
-            scan_steps=args.scan_steps or 1, remat=args.remat,
+            batch_size=args.batch_size, dtype=args.dtype,
+            scan_steps=args.scan_steps, remat=args.remat or None,
             with_cost=True, resident_data=args.resident_data)
-        best = (ips, batch, args.dtype or "float32",
+        best = (ips, args.batch_size or 64, args.dtype or "float32",
                 args.scan_steps or 1, flops, byts, ms)
+        config_tag = "canonical (explicit point)"
     else:
-        # Operating-point sweep over the measured winners (2026-08-17
-        # probes, /tmp sweeps → BASELINE.md).  The headline dtype is
-        # bfloat16 — its end-to-end quality is validated (BASELINE.md:
-        # 1.0000 held-out accuracy, ELBO within 0.5% of f32).  remat
-        # helps at batch 1024 (HBM-bound backward) and hurts at batch 64
-        # (param traffic dominates); scan_steps amortizes dispatch.
-        best = None
-        for batch, k, remat in ((1024, 16, True), (1024, 8, True),
-                                (64, 64, False)):
-            ips, flops, byts, ms = measure_images_per_sec(
-                n_warmup=2, n_timed=max(4, 400 // k),
-                batch_size=batch, dtype="bfloat16", scan_steps=k,
-                remat=remat, with_cost=True)
-            cand = (ips, batch, "bfloat16", k, flops, byts, ms)
-            if best is None or cand[0] > best[0]:
-                best = cand
+        # HEADLINE: the shipped `canonical_fast` preset VERBATIM —
+        # bf16 + scan + remat are preset fields now (VERDICT r3 #1), so
+        # the step this measures is byte-for-byte the step
+        # `--config canonical_fast` trains with.  Quality at exactly this
+        # preset: BASELINE.md cfv5/u28v5 rows.
+        from attend_infer_repeat_tpu.configs import get_config
+        preset = get_config("canonical_fast")
+        k = preset.train.scan_steps
+        ips, flops, byts, ms = measure_images_per_sec(
+            n_warmup=2, n_timed=max(4, 400 // k),
+            config_name="canonical_fast", with_cost=True)
+        best = (ips, preset.train.batch_size, preset.model.dtype, k,
+                flops, byts, ms)
+        config_tag = "canonical_fast preset (verbatim)"
     value, batch, dtype, k, flops, byts, ms = best
 
     baseline = None
@@ -290,6 +344,7 @@ def main():
         "dtype": dtype,
         "scan_steps": k,
         "ms_per_step": round(ms, 3),
+        "config": config_tag,
     }
     if flops:
         # roofline: achieved FLOP/s over the bf16 MXU peak...
