@@ -59,6 +59,28 @@ class InMemoryDataset:
                 yield self.imgs[sel], self.nums[sel]
 
 
+def auto_split(blob: dict, eval_fraction: float = 0.1,
+               ) -> Tuple["InMemoryDataset", "InMemoryDataset"]:
+    """Deterministic train/eval split of a single dataset pickle.
+
+    Tail slice (same convention as ``digits.py``'s 90/10 digit-bank
+    split): the last ``eval_fraction`` of rows become the held-out eval
+    set.  Used when the training loop gets a train pickle but no
+    validation pickle — rows logged under ``eval/*`` must never silently
+    be held-in data (reference ``make_logger`` keeps distinct
+    train/validation splits, SURVEY §4.5).
+    """
+    n = len(blob["imgs"])
+    cut = n - int(n * eval_fraction)
+    if cut <= 0 or cut >= n:
+        raise ValueError(
+            f"dataset has only {n} image(s) — too few to auto-split "
+            f"{1 - eval_fraction:.0%}/{eval_fraction:.0%}; pass an "
+            f"explicit validation pickle (--eval-data)")
+    return (InMemoryDataset(blob["imgs"][:cut], blob["nums"][:cut]),
+            InMemoryDataset(blob["imgs"][cut:], blob["nums"][cut:]))
+
+
 def tensors_from_data(data: dict, batch_size: int, seed: int = 0,
                       shuffle: bool = True):
     """Reference-API shim: dataset dict → infinite minibatch iterator."""

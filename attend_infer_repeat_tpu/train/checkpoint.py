@@ -62,6 +62,9 @@ class CheckpointManager:
         """
         return _restore_from(self._mgr, template)
 
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
     def wait(self):
         self._mgr.wait_until_finished()
 

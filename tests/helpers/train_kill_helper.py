@@ -52,11 +52,28 @@ def _watch_and_kill(ckpt_dir: str):
         time.sleep(0.05)
 
 
+def _watch_log_and_kill(metrics_path: str):
+    """SIGTERM self once the first metrics row lands (i.e. some steps have
+    run but — with a huge ``--save-every`` — NO periodic checkpoint can
+    exist).  Exercises the preemption-save hook: the only checkpoint the
+    resume finds must be the kill-time save."""
+    while True:
+        try:
+            if os.path.getsize(metrics_path) > 0:
+                os.kill(os.getpid(), signal.SIGTERM)
+                return
+        except OSError:
+            pass
+        time.sleep(0.05)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--workdir", required=True)
     p.add_argument("--iters", type=int, required=True)
     p.add_argument("--kill-after-first-save", action="store_true")
+    p.add_argument("--kill-after-first-log", action="store_true")
+    p.add_argument("--save-every", type=int, default=4)
     args = p.parse_args()
 
     from test_train import tiny_config  # the shared tiny test config
@@ -65,13 +82,19 @@ def main():
 
     # log_every=1 keeps per-step host syncs in the loop, so the SIGTERM
     # window after the first save spans only a handful of steps.
-    cfg = tiny_config(save_every=4, log_every=1, fig_every=10**9,
-                      eval_batches=2, n_iters=args.iters)
+    cfg = tiny_config(save_every=args.save_every, log_every=1,
+                      fig_every=10**9, eval_batches=2, n_iters=args.iters)
 
     if args.kill_after_first_save:
         t = threading.Thread(
             target=_watch_and_kill,
             args=(os.path.join(args.workdir, "ckpt"),), daemon=True)
+        t.start()
+    if args.kill_after_first_log:
+        t = threading.Thread(
+            target=_watch_log_and_kill,
+            args=(os.path.join(args.workdir, "metrics.jsonl"),),
+            daemon=True)
         t.start()
 
     state = train(cfg, workdir=args.workdir, n_iters=args.iters,

@@ -196,3 +196,19 @@ def test_mnist_npz_source(tmp_path):
     assert bank.shape == (29, 16, 16) and ev.shape == (3, 16, 16)
     assert bank.max() <= 1.0 + 1e-6
     assert lab.shape == (29,)
+
+
+def test_auto_split_holds_out_the_tail():
+    """Pickle-path eval default (VERDICT r3 weak #4): with no validation
+    pickle, the training pickle auto-splits 90/10 and the eval set is the
+    disjoint tail — never silently the training data itself."""
+    from attend_infer_repeat_tpu.data.loader import auto_split
+
+    imgs = np.arange(40, dtype=np.float32).reshape(40, 1, 1)
+    nums = np.arange(40, dtype=np.int32)
+    tr, ev = auto_split({"imgs": imgs, "nums": nums})
+    assert len(tr) == 36 and len(ev) == 4
+    assert set(ev.nums.tolist()) == {36, 37, 38, 39}
+    assert not set(tr.nums.tolist()) & set(ev.nums.tolist())
+    with pytest.raises(ValueError, match="too few"):
+        auto_split({"imgs": imgs[:1], "nums": nums[:1]})

@@ -177,6 +177,53 @@ def test_shardmap_matches_gspmd():
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_scan_driver_composes_with_mesh():
+    """scan × mesh (VERDICT r3 #6a): K scanned train steps over the
+    8-device DP mesh — the configuration a real multi-chip run uses
+    (scan for dispatch amortization + GSPMD for DP) — must equal K
+    sequential mesh steps exactly (the scan body IS the step body)."""
+    from attend_infer_repeat_tpu.data import load_digit_bank
+    from attend_infer_repeat_tpu.models.air import AIRModel
+    from attend_infer_repeat_tpu.train import (
+        create_train_state,
+        make_train_step,
+    )
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+    from tests.test_train import tiny_config
+
+    k = 4
+    cfg = tiny_config(scan_steps=k)
+    bank, _ = load_digit_bank("auto", digit_size=(8, 8))
+    model = AIRModel(cfg.model)
+    imgs = jnp.zeros((cfg.train.batch_size,) + cfg.model.img_size)
+    state = create_train_state(cfg, model, imgs)
+
+    mesh = make_mesh(8)
+    state = jax.device_put(state, replicate(mesh))
+
+    step_seq = make_train_step(cfg, model, digit_bank=bank, donate=False,
+                               mesh=mesh)
+    scan_step = make_scan_train_step(cfg, model, bank, k, donate=False,
+                                     mesh=mesh)
+    with mesh:
+        s_scan, chunk = scan_step(state)
+        s_seq = state
+        seq_metrics = []
+        for _ in range(k):
+            s_seq, m = step_seq(s_seq)
+            seq_metrics.append(m)
+
+    assert int(s_scan.step) == int(s_seq.step) == k
+    # stacked scan metrics row i == sequential step i's metrics
+    for i in range(k):
+        assert float(chunk["elbo"][i]) == pytest.approx(
+            float(seq_metrics[i]["elbo"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(s_scan.params),
+                    jax.tree.leaves(s_seq.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_graft_entry_single():
     import importlib.util, os
     spec = importlib.util.spec_from_file_location(

@@ -446,6 +446,67 @@ def test_kill_based_fault_injection_resume(tmp_path):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
+def test_preemption_save_on_sigterm(tmp_path):
+    """Preemption-save hook (SURVEY §6 optional hook; VERDICT r3 #8):
+    with ``save_every`` effectively infinite, a SIGTERM mid-run must
+    still leave a checkpoint at the KILL-TIME step (not a periodic one —
+    none exist), and resuming from it must finish bitwise-identical to
+    an uninterrupted run."""
+    import pickle
+    import subprocess
+    import sys
+
+    helper = os.path.join(os.path.dirname(__file__), "helpers",
+                          "train_kill_helper.py")
+    env = dict(os.environ)
+
+    def run(workdir, iters, extra=(), timeout=600):
+        cmd = [sys.executable, helper, "--workdir", str(workdir),
+               "--iters", str(iters), "--save-every", str(10**8),
+               *extra]
+        return subprocess.run(cmd, env=env, capture_output=True,
+                              text=True, timeout=timeout)
+
+    n_total = 8
+    res_a = run(tmp_path / "a", n_total)
+    assert res_a.returncode == 0, res_a.stderr[-2000:]
+    # the uninterrupted run's only save is the forced final one
+    steps_a = [int(e) for e in os.listdir(tmp_path / "a" / "ckpt")
+               if e.isdigit()]
+    assert steps_a == [n_total]
+
+    res_kill = run(tmp_path / "b", 10**6,
+                   extra=("--kill-after-first-log",))
+    assert res_kill.returncode != 0, "process was supposed to die"
+    assert "[preempt]" in res_kill.stdout, res_kill.stdout[-2000:]
+    ckpt_dir = tmp_path / "b" / "ckpt"
+    steps = [int(e) for e in os.listdir(ckpt_dir) if e.isdigit()]
+    assert steps, ("no kill-time checkpoint: the preemption hook did "
+                   "not save before dying")
+    # the saved step is the hook's kill-time step, as printed
+    import re
+    m = re.search(r"\[preempt\] signal \d+: saved step (\d+)",
+                  res_kill.stdout)
+    assert m and int(m.group(1)) == max(steps)
+    if max(steps) > n_total:
+        pytest.skip(f"kill landed after step {max(steps)} (> {n_total}); "
+                    f"host too fast for a meaningful resume window")
+
+    res_b = run(tmp_path / "b", n_total)
+    assert res_b.returncode == 0, res_b.stderr[-2000:]
+    with open(tmp_path / "a" / "final_state.pkl", "rb") as f:
+        a = pickle.load(f)
+    with open(tmp_path / "b" / "final_state.pkl", "rb") as f:
+        b = pickle.load(f)
+    assert a["step"] == b["step"] == n_total
+    np.testing.assert_array_equal(a["key_data"], b["key_data"])
+    for tree in ("params", "opt_state"):
+        for x, y in zip(jax.tree.leaves(a[tree]),
+                        jax.tree.leaves(b[tree])):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_eval_step_and_no_param_change(setup, bank):
     cfg, model, state = setup
     synth = make_synth_fn(cfg.data, bank)
