@@ -94,6 +94,9 @@ class ModelConfig:
     # Spatial-transformer backend for the model's gather/paste:
     # "xla" (separable einsum) or "pallas" (fused kernel).
     st_method: str = "xla"
+    # Pallas-kernel tuning (ignored by the XLA path): examples per grid
+    # step.  The kernel's MXU operand dtype follows ``dtype``.
+    st_block_b: int = 8
 
     # Computation dtype for matmuls ("float32" or "bfloat16"); params stay
     # float32 either way.

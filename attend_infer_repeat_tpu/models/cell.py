@@ -105,7 +105,8 @@ class AIRCell(nn.Module):
         z_where = expand_where(cfg, z_w)   # 4-dim affine for the ST
 
         glimpse = st_gather(img, st_where(cfg, z_where), cfg.glimpse_size,
-                            method=cfg.st_method)
+                            method=cfg.st_method, block_b=cfg.st_block_b,
+                            compute_dtype=cfg.dtype)
         what_loc, what_scale = GlimpseEncoder(cfg)(
             glimpse.reshape(batch, -1))
         z_what = what_loc + what_scale * jax.random.normal(
@@ -133,7 +134,8 @@ class AIRCell(nn.Module):
             else GlimpseDecoder(cfg)
         glimpse_out = decoder(z_what)                   # (B, gh, gw)
         paste = st_paste(glimpse_out, st_where(cfg, z_where), cfg.img_size,
-                         method=cfg.st_method)
+                         method=cfg.st_method, block_b=cfg.st_block_b,
+                         compute_dtype=cfg.dtype)
         canvas = canvas + z_pres[..., None] * paste
 
         out = AIRStepOutput(

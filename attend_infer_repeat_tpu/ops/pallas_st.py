@@ -51,34 +51,45 @@ def _axis_weights_in_kernel(scale, shift, out_size: int, in_size: int):
     return jnp.maximum(1.0 - jnp.abs(p[:, :, None] - q), 0.0)
 
 
-def _gather_kernel(img_ref, zw_ref, out_ref, *, out_h, out_w, in_h, in_w):
+def _gather_kernel(img_ref, zw_ref, out_ref, *, out_h, out_w, in_h, in_w,
+                   dot_dtype=jnp.float32):
     img = img_ref[:]                                          # (BB, H, W)
     zw = zw_ref[:]                                            # (BB, 4)
+    # weight GENERATION stays f32 (VPU position math needs the mantissa);
+    # the dot OPERANDS optionally drop to bf16 — halves the MXU input
+    # traffic and doubles its rate; accumulation stays f32 (VERDICT r3 #4)
     w_y = _axis_weights_in_kernel(zw[:, 1], zw[:, 3], out_h, in_h)
     w_x = _axis_weights_in_kernel(zw[:, 0], zw[:, 2], out_w, in_w)
+    w_y = w_y.astype(dot_dtype)
+    w_x = w_x.astype(dot_dtype)
+    img = img.astype(dot_dtype)
     # tmp[b,i,l] = Σ_j w_y[b,i,j] · img[b,j,l]
     tmp = jax.lax.dot_general(
         w_y, img, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                   # (BB, h, W)
     # out[b,i,k] = Σ_l tmp[b,i,l] · w_x[b,k,l]
     out_ref[:] = jax.lax.dot_general(
-        tmp, w_x, (((2,), (2,)), ((0,), (0,))),
+        tmp.astype(dot_dtype), w_x, (((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)                   # (BB, h, w)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def st_gather_pallas(image: jax.Array, z_where: jax.Array, glimpse_shape,
-                     block_b: int = 8, interpret: bool = False) -> jax.Array:
+                     block_b: int = 8, interpret: bool = False,
+                     compute_dtype: str = "float32") -> jax.Array:
     """Fused bilinear glimpse gather: ``(..., H, W), (..., 4) → (..., h, w)``.
 
     Drop-in for ``st_gather(..., method="xla")`` — bit-identical sampling
-    semantics (same hat-function weights, zero padding out of bounds).
+    semantics at f32 (same hat-function weights, zero padding out of
+    bounds); ``compute_dtype="bfloat16"`` runs the MXU contractions on
+    bf16 operands with f32 accumulation (matches the model's bf16 mode).
     """
     return _gather_impl(image, z_where, tuple(glimpse_shape), block_b,
-                        interpret)
+                        interpret, compute_dtype)
 
 
-def _gather_impl(image, z_where, glimpse_shape, block_b, interpret):
+def _gather_impl(image, z_where, glimpse_shape, block_b, interpret,
+                 compute_dtype="float32"):
     batch_shape = image.shape[:-2]
     in_h, in_w = image.shape[-2:]
     out_h, out_w = glimpse_shape
@@ -95,7 +106,8 @@ def _gather_impl(image, z_where, glimpse_shape, block_b, interpret):
     n_blocks = img.shape[0] // bb
 
     kernel = functools.partial(_gather_kernel, out_h=out_h, out_w=out_w,
-                               in_h=in_h, in_w=in_w)
+                               in_h=in_h, in_w=in_w,
+                               dot_dtype=jnp.dtype(compute_dtype))
     out = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -141,7 +153,7 @@ def _axis_weights_and_dp(scale, shift, out_size: int, in_size: int):
 
 
 def _gather_bwd_kernel(img_ref, zw_ref, g_ref, gimg_ref, gzw_ref, *,
-                       out_h, out_w, in_h, in_w):
+                       out_h, out_w, in_h, in_w, dot_dtype=jnp.float32):
     """Fused VJP: grads w.r.t. image AND all 4 affine params in one pass.
 
     Five dot_generals on the MXU; the bilinear weights and their
@@ -154,8 +166,10 @@ def _gather_bwd_kernel(img_ref, zw_ref, g_ref, gimg_ref, gzw_ref, *,
     w_y, dwy, u_y = _axis_weights_and_dp(zw[:, 1], zw[:, 3], out_h, in_h)
     w_x, dwx, u_x = _axis_weights_and_dp(zw[:, 0], zw[:, 2], out_w, in_w)
 
-    dot = functools.partial(jax.lax.dot_general,
-                            preferred_element_type=jnp.float32)
+    def dot(a, b, dims):
+        return jax.lax.dot_general(
+            a.astype(dot_dtype), b.astype(dot_dtype), dims,
+            preferred_element_type=jnp.float32)
     # forward intermediate tmp[b,i,l] = Σ_j w_y[b,i,j]·img[b,j,l]
     tmp = dot(w_y, img, (((2,), (1,)), ((0,), (0,))))         # (BB, h, W)
     # g_img[b,j,l] = Σ_i w_y[b,i,j] Σ_k g[b,i,k] w_x[b,k,l]
@@ -181,13 +195,15 @@ def _gather_bwd_kernel(img_ref, zw_ref, g_ref, gimg_ref, gzw_ref, *,
     gzw_ref[:] = jnp.concatenate([d_sx, d_sy, d_tx, d_ty], axis=-1)
 
 
-def _gather_fwd(image, z_where, glimpse_shape, block_b, interpret):
+def _gather_fwd(image, z_where, glimpse_shape, block_b, interpret,
+                compute_dtype):
     out = _gather_impl(image, z_where, tuple(glimpse_shape), block_b,
-                       interpret)
+                       interpret, compute_dtype)
     return out, (image, z_where)
 
 
-def _gather_bwd(glimpse_shape, block_b, interpret, residuals, g):
+def _gather_bwd(glimpse_shape, block_b, interpret, compute_dtype,
+                residuals, g):
     image, z_where = residuals
     batch_shape = image.shape[:-2]
     in_h, in_w = image.shape[-2:]
@@ -208,7 +224,8 @@ def _gather_bwd(glimpse_shape, block_b, interpret, residuals, g):
     n_blocks = img.shape[0] // bb
 
     kernel = functools.partial(_gather_bwd_kernel, out_h=out_h,
-                               out_w=out_w, in_h=in_h, in_w=in_w)
+                               out_w=out_w, in_h=in_h, in_w=in_w,
+                               dot_dtype=jnp.dtype(compute_dtype))
     g_img, g_zw = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -242,9 +259,11 @@ st_gather_pallas.defvjp(_gather_fwd, _gather_bwd)
 
 
 def st_paste_pallas(glimpse: jax.Array, z_where: jax.Array, canvas_shape,
-                    block_b: int = 8, interpret: bool = False) -> jax.Array:
+                    block_b: int = 8, interpret: bool = False,
+                    compute_dtype: str = "float32") -> jax.Array:
     """Fused inverse transformer: paste = gather under the inverted affine."""
     from attend_infer_repeat_tpu.ops.spatial_transformer import invert_where
 
     return st_gather_pallas(glimpse, invert_where(z_where),
-                            tuple(canvas_shape), block_b, interpret)
+                            tuple(canvas_shape), block_b, interpret,
+                            compute_dtype)

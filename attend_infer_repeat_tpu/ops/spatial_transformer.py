@@ -91,7 +91,8 @@ def st_weights(z_where: jax.Array, out_shape, in_shape):
 
 
 def st_gather(image: jax.Array, z_where: jax.Array, glimpse_shape,
-              method: str = "xla") -> jax.Array:
+              method: str = "xla", block_b: int = 8,
+              compute_dtype: str = "float32") -> jax.Array:
     """Extract a bilinear glimpse: the forward spatial transformer (attend).
 
     ``image (..., H, W)``, ``z_where (..., 4)`` → ``(..., h, w)``.
@@ -99,16 +100,21 @@ def st_gather(image: jax.Array, z_where: jax.Array, glimpse_shape,
     (``modules.py:SpatialTransformer`` forward; ★ gather in SURVEY §4.2).
 
     ``method``: ``"xla"`` (einsum, default) or ``"pallas"`` (fused kernel).
+    ``block_b``/``compute_dtype`` tune the Pallas kernel only (examples
+    per grid step; MXU operand dtype) — the XLA path ignores them (its
+    dtype follows the inputs, its tiling is the compiler's).
     """
     if method == "pallas":
         from attend_infer_repeat_tpu.ops import pallas_st
-        return pallas_st.st_gather_pallas(image, z_where, glimpse_shape)
+        return pallas_st.st_gather_pallas(image, z_where, glimpse_shape,
+                                          block_b, False, compute_dtype)
     w_y, w_x = st_weights(z_where, glimpse_shape, image.shape[-2:])
     return jnp.einsum("...ij,...jk,...lk->...il", w_y, image, w_x)
 
 
 def st_paste(glimpse: jax.Array, z_where: jax.Array, canvas_shape,
-             method: str = "xla") -> jax.Array:
+             method: str = "xla", block_b: int = 8,
+             compute_dtype: str = "float32") -> jax.Array:
     """Paste a glimpse onto a canvas: the inverse spatial transformer (decode).
 
     ``glimpse (..., h, w)``, ``z_where (..., 4)`` → ``(..., H, W)``.
@@ -118,7 +124,8 @@ def st_paste(glimpse: jax.Array, z_where: jax.Array, canvas_shape,
     matmuls, so the "scatter" never exists as a scatter on TPU.
     """
     return st_gather(glimpse, invert_where(z_where), canvas_shape,
-                     method=method)
+                     method=method, block_b=block_b,
+                     compute_dtype=compute_dtype)
 
 
 def st_gather_reference(image: jax.Array, z_where: jax.Array,

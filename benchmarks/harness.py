@@ -118,18 +118,26 @@ def bench_train_st(batch_sizes=(256, 1024, 4096)):
 
     base = get_config("canonical")
     bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
-    methods = ["xla"]
+    # (st_method, st_block_b, dtype) points: the XLA baseline at each
+    # dtype, then the Pallas kernel's tuning grid (VERDICT r3 #4:
+    # block_b ∈ {8, 32, 128}; bf16 MXU operands when the model is bf16)
+    variants = [("xla", 8, "float32")]
     if jax.devices()[0].platform != "cpu":
-        methods.append("pallas")
+        variants += [("xla", 8, "bfloat16")]
+        variants += [("pallas", bb, dt)
+                     for dt in ("float32", "bfloat16")
+                     for bb in (8, 32, 128)]
     for bs in batch_sizes:
-        for method in methods:
+        for method, bb, dtype in variants:
             config = dataclasses.replace(
                 base,
-                model=dataclasses.replace(base.model, st_method=method),
+                model=dataclasses.replace(base.model, st_method=method,
+                                          st_block_b=bb, dtype=dtype),
                 train=dataclasses.replace(base.train, batch_size=bs))
             dt = _time_train_step(config, bank)
             _record({"bench": "train_step_st", "config": "canonical",
-                     "st_method": method, "batch_size": bs,
+                     "st_method": method, "st_block_b": bb,
+                     "dtype": dtype, "batch_size": bs,
                      "step_ms": dt * 1e3, "images_per_sec": bs / dt})
 
 

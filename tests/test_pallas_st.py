@@ -111,3 +111,43 @@ def test_gather_jits():
     out = f(img, zw)
     assert out.shape == (8, 20, 20)
     assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("block_b", [4, 32, 128])
+def test_gather_parity_block_sizes(block_b):
+    """The kernel is block-size invariant (VERDICT r3 #4: the block_b
+    sweep is a perf knob, never a numerics knob)."""
+    key = jax.random.key(41)
+    img = jax.random.uniform(key, (13, 50, 50))
+    zw = random_wheres(jax.random.fold_in(key, 1), 13)
+    ref = st_gather(img, zw, (20, 20))
+    pal = st_gather_pallas(img, zw, (20, 20), block_b, True)
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gather_bf16_compute_close_to_f32():
+    """bf16 MXU operands + f32 accumulation: sampling error bounded by
+    bf16 resolution (~3 decimal digits), fwd and bwd."""
+    key = jax.random.key(42)
+    img = jax.random.uniform(key, (8, 50, 50))
+    zw = random_wheres(jax.random.fold_in(key, 1), 8)
+    ref = st_gather(img, zw, (20, 20))
+    pal = st_gather_pallas(img, zw, (20, 20), 8, True, "bfloat16")
+    assert pal.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(pal), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    cot = jax.random.normal(jax.random.fold_in(key, 2), (8, 20, 20))
+    _, vjp_pal = jax.vjp(
+        lambda i, z: st_gather_pallas(i, z, (20, 20), 8, True,
+                                      "bfloat16"), img, zw)
+    _, vjp_ref = jax.vjp(lambda i, z: st_gather(i, z, (20, 20)), img, zw)
+    for a, b in zip(vjp_pal(cot), vjp_ref(cot)):
+        # error bounded relative to the gradient's SCALE, not elementwise:
+        # z_where grads sum hundreds of bf16-rounded products with
+        # cancellation, so near-zero elements carry O(|g|_max · 2^-8)
+        # absolute noise — same noise budget as the model's bf16 mode
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=5e-2,
+                                   atol=2e-2 * max(np.abs(b).max(), 1.0))
