@@ -101,6 +101,17 @@ class ModelConfig:
     # Computation dtype for matmuls ("float32" or "bfloat16"); params stay
     # float32 either way.
     dtype: str = "float32"
+    # Decoder (generative-path) dtype override; None follows ``dtype``.
+    # Rationale for "float32" under a bf16 model: the decoder's fit
+    # residuals are what an extra sliver window gets paid to paint — in
+    # bf16 the marginal decode improvements that would prune such a
+    # window quantize away, and seed-0 bf16 runs converge to a stable
+    # 2->3 over-split optimum (0.947 vs f32's 1.000; runs/iwae_r4,
+    # runs/cfv5_seed0).  An f32 decoder keeps the generative path's
+    # gradient signal crisp while the (larger) inference network stays
+    # on the fast bf16 path; the paste/canvas/likelihood then ride f32
+    # automatically (dtype follows the decoder output).
+    decoder_dtype: Optional[str] = None
 
     # Rematerialize the scanned cell in the backward pass
     # (``jax.checkpoint`` via ``nn.remat``): recompute each object step's

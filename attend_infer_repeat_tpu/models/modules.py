@@ -24,6 +24,12 @@ def _dtype(cfg: ModelConfig):
     return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
 
 
+def _decoder_dtype(cfg: ModelConfig):
+    """Generative-path dtype: ``decoder_dtype`` override, else ``dtype``."""
+    d = cfg.decoder_dtype if cfg.decoder_dtype is not None else cfg.dtype
+    return jnp.bfloat16 if d == "bfloat16" else jnp.float32
+
+
 class MLP(nn.Module):
     """ELU MLP; hidden widths then an optional linear head."""
 
@@ -177,7 +183,8 @@ class GlimpseDecoder(nn.Module):
     def __call__(self, z_what):
         gh, gw = self.cfg.glimpse_size
         x = MLP(self.cfg.decoder_hidden, out=gh * gw,
-                dtype=_dtype(self.cfg))(z_what)
+                dtype=_decoder_dtype(self.cfg))(z_what)
+        x = x.astype(jnp.float32)
         return jax.nn.sigmoid(x).reshape(x.shape[:-1] + (gh, gw))
 
 
