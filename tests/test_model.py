@@ -237,3 +237,37 @@ class TestBfloat16Mode:
         np.testing.assert_allclose(np.asarray(o16.log_likelihood),
                                    np.asarray(o32.log_likelihood),
                                    rtol=0.2, atol=30.0)
+
+
+class TestDecoderDtypeOverride:
+    """decoder_dtype="float32" under a bf16 model: the generative path
+    (decoder MLP -> pixels) computes in f32 with the same f32 param tree,
+    while the inference net stays bf16 (bf16 sliver-optimum mitigation)."""
+
+    def test_f32_decoder_matches_f32_decode_path(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models.modules import GlimpseDecoder
+
+        kw = dict(img_size=(14, 14), glimpse_size=(6, 6), n_what=4,
+                  decoder_hidden=(16,))
+        dec_f32 = GlimpseDecoder(ModelConfig(dtype="float32", **kw))
+        dec_mix = GlimpseDecoder(ModelConfig(dtype="bfloat16",
+                                             decoder_dtype="float32", **kw))
+        dec_bf16 = GlimpseDecoder(ModelConfig(dtype="bfloat16", **kw))
+        z = jax.random.normal(jax.random.key(0), (8, 4))
+        params = dec_f32.init(jax.random.key(1), z)
+        out_f32 = dec_f32.apply(params, z)
+        out_mix = dec_mix.apply(params, z)
+        out_bf16 = dec_bf16.apply(params, z)
+        # the override makes the bf16 model's decode EXACTLY the f32 one
+        np.testing.assert_array_equal(np.asarray(out_mix),
+                                      np.asarray(out_f32))
+        # pixels always come out f32 (sigmoid runs f32 in every mode)
+        assert out_bf16.dtype == jnp.float32
+        # and the pure-bf16 decode is close but not identical
+        assert not np.array_equal(np.asarray(out_bf16), np.asarray(out_f32))
+        np.testing.assert_allclose(np.asarray(out_bf16),
+                                   np.asarray(out_f32), atol=2e-2)
