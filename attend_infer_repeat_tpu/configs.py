@@ -324,17 +324,24 @@ PRESETS = {
         # model decomposes from the first steps — 0.982 mode accuracy at
         # 40k (ELBO unchanged; runs/probe_maxscale045).
         # Shipped operating point = the measured-best trainer (r3 bench
-        # decomposition, BASELINE.md): bf16 compute (+29%; end-to-end
-        # quality validated — 1.0000 held-out accuracy, ELBO within 0.5%
-        # of f32), remat (+10%: the step is HBM-bound at batch 1024, so
-        # recomputing scan activations beats storing them), and the
-        # K-step lax.scan dispatch amortizer (scan_steps=20: ≥16 captures
-        # the full dispatch win and divides the 500-step log interval).
+        # decomposition, BASELINE.md): bf16 compute (+29%), remat (+10%:
+        # the step is HBM-bound at batch 1024, so recomputing scan
+        # activations beats storing them), and the K-step lax.scan
+        # dispatch amortizer (scan_steps=20: ≥16 captures the full
+        # dispatch win and divides the 500-step log interval).
+        # decoder_dtype='float32' is load-bearing for QUALITY, not a perf
+        # trade: all-bf16 basin selection is seed-fragile (seeds 0/2/3
+        # land in over-split or collapsed local optima, 0.75-0.94 count
+        # accuracy — runs/probe_b*_seed*, BASELINE.md r4 row), while the
+        # f32 generative matmuls reach 1.000 on every probed seed AND
+        # measure ~2% FASTER (454k vs 443k img/s: the f32 pixel/canvas
+        # path loses its dtype-conversion boundary).
         # The preset a user runs IS the ~450k img/s step bench.py benches.
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45,
-                          dtype="bfloat16", remat=True),
+                          dtype="bfloat16", decoder_dtype="float32",
+                          remat=True),
         # cosine lr decay to 0.1× over the run: settles late-training
         # REINFORCE noise (robustness tail; the merge fix is max_scale).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
@@ -359,7 +366,8 @@ PRESETS = {
                           where_prior_loc=(0.4, 0.4, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.55,
-                          dtype="bfloat16", remat=True),
+                          dtype="bfloat16", decoder_dtype="float32",
+                          remat=True),
         data=DataConfig(digit_size=(20, 20), placement="uniform"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
@@ -433,7 +441,8 @@ PRESETS = {
                           where_prior_loc=(0.48, 0.48, 0.0, 0.0),
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.62,
-                          dtype="bfloat16", remat=True),
+                          dtype="bfloat16", decoder_dtype="float32",
+                          remat=True),
         data=DataConfig(digit_size=(28, 28), scale_range=(0.7, 1.0),
                         placement="uniform"),
         # lr decays to 1e-5 (the reference's own lr) by 60k: the first
@@ -471,7 +480,8 @@ PRESETS = {
         model=ModelConfig(explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45,
-                          dtype="bfloat16", remat=True),
+                          dtype="bfloat16", decoder_dtype="float32",
+                          remat=True),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,

@@ -65,6 +65,12 @@ def test_tpu_presets_ship_the_benched_operating_point():
         assert cfg.model.dtype == "bfloat16", name
         assert cfg.model.remat, name
         assert cfg.train.scan_steps > 1, name
+        # decoder_dtype='float32' is load-bearing for quality on every
+        # bf16 preset: all-bf16 basin selection is seed-fragile (3/4
+        # probed seeds land in over-split or collapsed local optima,
+        # runs/probe_b*_seed*), while the f32 generative path reaches
+        # 1.000 on all probed seeds and measures ~2% faster.
+        assert cfg.model.decoder_dtype == "float32", name
     for name in PRESETS:
         cfg = get_config(name)
         k = cfg.train.scan_steps
