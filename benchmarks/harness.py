@@ -118,26 +118,33 @@ def bench_train_st(batch_sizes=(256, 1024, 4096)):
 
     base = get_config("canonical")
     bank, _ = load_digit_bank(base.data.source, base.data.digit_size)
-    # (st_method, st_block_b, dtype) points: the XLA baseline at each
-    # dtype, then the Pallas kernel's tuning grid (VERDICT r3 #4:
-    # block_b ∈ {8, 32, 128}; bf16 MXU operands when the model is bf16)
-    variants = [("xla", 8, "float32")]
+    # (st_method, st_block_b, dtype, decoder_dtype) points: the XLA
+    # baseline at each dtype, then the Pallas kernel's tuning grid
+    # (VERDICT r3 #4: block_b ∈ {8, 32, 128}; bf16 MXU operands when the
+    # model is bf16).  The bf16+f32-decoder mixture is what the shipped
+    # presets actually run (bf16 gather on the inference side, f32 paste
+    # on the generative side), so it gets its own rows.
+    variants = [("xla", 8, "float32", None)]
     if jax.devices()[0].platform != "cpu":
-        variants += [("xla", 8, "bfloat16")]
-        variants += [("pallas", bb, dt)
-                     for dt in ("float32", "bfloat16")
+        variants += [("xla", 8, "bfloat16", None),
+                     ("xla", 8, "bfloat16", "float32")]
+        variants += [("pallas", bb, dt, dec)
+                     for dt, dec in (("float32", None), ("bfloat16", None),
+                                     ("bfloat16", "float32"))
                      for bb in (8, 32, 128)]
     for bs in batch_sizes:
-        for method, bb, dtype in variants:
+        for method, bb, dtype, dec in variants:
             config = dataclasses.replace(
                 base,
                 model=dataclasses.replace(base.model, st_method=method,
-                                          st_block_b=bb, dtype=dtype),
+                                          st_block_b=bb, dtype=dtype,
+                                          decoder_dtype=dec),
                 train=dataclasses.replace(base.train, batch_size=bs))
             dt = _time_train_step(config, bank)
             _record({"bench": "train_step_st", "config": "canonical",
                      "st_method": method, "st_block_b": bb,
-                     "dtype": dtype, "batch_size": bs,
+                     "dtype": dtype, "decoder_dtype": dec,
+                     "batch_size": bs,
                      "step_ms": dt * 1e3, "images_per_sec": bs / dt})
 
 
