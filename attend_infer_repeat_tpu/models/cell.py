@@ -133,9 +133,13 @@ class AIRCell(nn.Module):
         decoder = self.decoder if self.decoder is not None \
             else GlimpseDecoder(cfg)
         glimpse_out = decoder(z_what)                   # (B, gh, gw)
+        # the paste rides the GENERATIVE dtype: with decoder_dtype set,
+        # the Pallas kernel's dot_generals must not cast the decoder's
+        # f32 glimpse back to bf16 (the XLA path follows input dtypes
+        # automatically; compute_dtype only steers the kernel)
         paste = st_paste(glimpse_out, st_where(cfg, z_where), cfg.img_size,
                          method=cfg.st_method, block_b=cfg.st_block_b,
-                         compute_dtype=cfg.dtype)
+                         compute_dtype=cfg.decoder_dtype or cfg.dtype)
         canvas = canvas + z_pres[..., None] * paste
 
         out = AIRStepOutput(

@@ -240,6 +240,12 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     def _on_preempt(signum, frame):
         preempt_sig["sig"] = signum
+        # One graceful save per signal: restore the default disposition
+        # immediately so a SECOND signal kills the process even if the
+        # in-flight step never returns (hung device tunnel, stuck
+        # compile) — otherwise `timeout`-guarded campaign runs and
+        # double-Ctrl-C would wait forever on an absorbed SIGTERM.
+        signal.signal(signum, prev_handlers.get(signum, signal.SIG_DFL))
 
     prev_handlers = {}
     if ckpt is not None and \
@@ -316,8 +322,13 @@ def train(config: Config | str, workdir: str = "runs/default",
             ckpt.save(state, force=(step_no == n_iters))
         if preempt_sig["sig"] is not None:
             sig = preempt_sig["sig"]
-            if ckpt is not None and ckpt.latest_step() != step_no:
-                ckpt.save(state, force=True)
+            if ckpt is not None:
+                # If the periodic save above already enqueued this step,
+                # latest_step() reports it while the async write is still
+                # in flight — so ALWAYS wait/close before dying, and only
+                # skip the redundant save itself.
+                if ckpt.latest_step() != step_no:
+                    ckpt.save(state, force=True)
                 ckpt.wait()
                 ckpt.close()
             print(f"[preempt] signal {sig}: saved step {step_no}; "

@@ -139,8 +139,10 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         flops, byts = _cost_analysis(one.lower(state).compile())
 
     for _ in range(n_warmup):
-        state, metrics = step(state)
-    jax.block_until_ready(metrics)
+        state, _ = step(state)
+    # block on state, not metrics: with n_warmup=0 (trace bursts) no
+    # metrics binding exists yet, and state is the donated carry anyway
+    jax.block_until_ready(state)
 
     t0 = time.perf_counter()
     for _ in range(n_timed):
@@ -309,8 +311,16 @@ def main():
             batch_size=args.batch_size, dtype=args.dtype,
             scan_steps=args.scan_steps, remat=args.remat or None,
             with_cost=True, resident_data=args.resident_data)
-        best = (ips, args.batch_size or 64, args.dtype or "float32",
-                args.scan_steps or 1, flops, byts, ms)
+        # record the point actually measured: a None flag falls back to
+        # the preset's field inside measure_images_per_sec, so the
+        # provenance must resolve the same way (canonical now ships
+        # scan_steps=50 — `or 1` would claim an unscanned step)
+        from attend_infer_repeat_tpu.configs import get_config
+        base = get_config("canonical")
+        best = (ips, args.batch_size or base.train.batch_size,
+                args.dtype or base.model.dtype,
+                args.scan_steps or base.train.scan_steps,
+                flops, byts, ms)
         config_tag = "canonical (explicit point)"
     else:
         # HEADLINE: the shipped `canonical_fast` preset VERBATIM —

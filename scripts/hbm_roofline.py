@@ -34,45 +34,47 @@ import jax
 import jax.numpy as jnp
 
 
-def _timeit(fn, *args, n_warmup=3, n_timed=20):
-    for _ in range(n_warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
+def _timeit_chain(fn, x, *rest, n_timed=20):
+    """Time ``y = fn(y, *rest)`` with the carry CHAINED through every
+    call.  Chaining is load-bearing here twice over: (a) each call's
+    input differs, so no layer (XLA constant folding, the remote-
+    execution tunnel's result memoization) can serve a cached answer —
+    the first, un-chained version of this bench printed 103 TB/s
+    "triad", 126× the physical HBM peak; (b) the data dependency
+    serializes the async dispatches, so wall-clock divides cleanly."""
+    y = fn(x, *rest)
+    jax.block_until_ready(y)  # compile + one warmup
     t0 = time.perf_counter()
     for _ in range(n_timed):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        y = fn(y, *rest)
+    jax.block_until_ready(y)
     return (time.perf_counter() - t0) / n_timed
 
 
 def stream_peaks(n_bytes: int = 1 << 30):
     """STREAM-style achieved-bandwidth microbenchmarks (GB/s).
 
-    copy: y = x            (reads N, writes N → 2N bytes)
-    scale: y = a*x         (2N)
-    triad: y = x + a*z     (3N)
-    reduce: s = sum(x)     (N reads; writes negligible)
+    copy:  y = reverse(x)   (reads N, writes N → 2N bytes; reverse, not
+                             ``x + 0.0``, so XLA cannot alias it away)
+    scale: y = a*x          (2N)
+    triad: y = x + a*z      (3N)
     """
     n = n_bytes // 4
     x = jnp.arange(n, dtype=jnp.float32)  # materialized on device
     z = jnp.ones((n,), jnp.float32)
     rows = {}
 
-    copy = jax.jit(lambda v: v + 0.0)
-    dt = _timeit(copy, x)
+    copy = jax.jit(lambda v: v[::-1])
+    dt = _timeit_chain(copy, x)
     rows["copy"] = 2 * n * 4 / dt / 1e9
 
     scale = jax.jit(lambda v: v * 1.0000001)
-    dt = _timeit(scale, x)
+    dt = _timeit_chain(scale, x)
     rows["scale"] = 2 * n * 4 / dt / 1e9
 
     triad = jax.jit(lambda v, w: v + 1.0000001 * w)
-    dt = _timeit(triad, x, z)
+    dt = _timeit_chain(triad, x, z)
     rows["triad"] = 3 * n * 4 / dt / 1e9
-
-    reduce_ = jax.jit(lambda v: jnp.sum(v))
-    dt = _timeit(reduce_, x)
-    rows["reduce"] = n * 4 / dt / 1e9
     return rows
 
 
@@ -85,8 +87,6 @@ def headline_step(trace_dir=None):
         with_cost=True)
     if trace_dir:
         # a short traced burst for the on-disk kernel timeline
-        from attend_infer_repeat_tpu.configs import get_config
-        k = get_config("canonical_fast").train.scan_steps
         with jax.profiler.trace(trace_dir):
             measure_images_per_sec(n_warmup=0, n_timed=3,
                                    config_name="canonical_fast")
@@ -126,7 +126,6 @@ def main():
 
     trace_dir = None if args.no_trace else args.trace_dir
     ips, flops, byts, ms = headline_step(trace_dir)
-    batch = 1024
     achieved = byts / (ms * 1e-3) / 1e9 if byts else None
     row = {
         "bench": "headline_step_roofline",

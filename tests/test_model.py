@@ -271,3 +271,40 @@ class TestDecoderDtypeOverride:
         assert not np.array_equal(np.asarray(out_bf16), np.asarray(out_f32))
         np.testing.assert_allclose(np.asarray(out_bf16),
                                    np.asarray(out_f32), atol=2e-2)
+
+    def test_cell_paste_rides_decoder_dtype(self, monkeypatch):
+        """The cell must hand st_paste the DECODER-resolved dtype: under
+        dtype=bf16 + decoder_dtype=f32 the generative paste is f32 (the
+        XLA path follows input dtypes anyway; compute_dtype steers the
+        Pallas kernel, which would otherwise cast the f32 glimpse back
+        to bf16 inside its dot_generals)."""
+        import jax
+        import jax.numpy as jnp
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models import cell as cell_mod
+        from attend_infer_repeat_tpu.models.air import AIRModel
+
+        seen = []
+        real_paste = cell_mod.st_paste
+
+        def spy_paste(*args, **kwargs):
+            seen.append(kwargs.get("compute_dtype"))
+            return real_paste(*args, **kwargs)
+
+        monkeypatch.setattr(cell_mod, "st_paste", spy_paste)
+        cfg = ModelConfig(img_size=(14, 14), glimpse_size=(6, 6),
+                          n_what=4, max_steps=2, rnn_hidden=8,
+                          encoder_hidden=(8,), glimpse_encoder_hidden=(8,),
+                          decoder_hidden=(8,), transform_hidden=(8,),
+                          steps_hidden=(8,), baseline_hidden=(8,),
+                          dtype="bfloat16", decoder_dtype="float32")
+        model = AIRModel(cfg)
+        imgs = jnp.zeros((3, 14, 14))
+        model.init(jax.random.key(0), imgs, jax.random.key(1), 0.5)
+        assert seen and all(d == "float32" for d in seen), seen
+
+        seen.clear()
+        import dataclasses
+        cfg16 = dataclasses.replace(cfg, decoder_dtype=None)
+        AIRModel(cfg16).init(jax.random.key(0), imgs, jax.random.key(1), 0.5)
+        assert seen and all(d == "bfloat16" for d in seen), seen
