@@ -30,50 +30,71 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# tensorboard_plugin_profile ships _pb2 modules older than the installed
+# C++ protobuf runtime; the pure-Python implementation accepts them.
+# Must be set before ANY protobuf import in this process.
+os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+
 import jax
 import jax.numpy as jnp
 
 
-def _timeit_chain(fn, x, *rest, n_timed=20):
-    """Time ``y = fn(y, *rest)`` with the carry CHAINED through every
-    call.  Chaining is load-bearing here twice over: (a) each call's
-    input differs, so no layer (XLA constant folding, the remote-
-    execution tunnel's result memoization) can serve a cached answer —
-    the first, un-chained version of this bench printed 103 TB/s
-    "triad", 126× the physical HBM peak; (b) the data dependency
-    serializes the async dispatches, so wall-clock divides cleanly."""
-    y = fn(x, *rest)
-    jax.block_until_ready(y)  # compile + one warmup
-    t0 = time.perf_counter()
-    for _ in range(n_timed):
-        y = fn(y, *rest)
-    jax.block_until_ready(y)
-    return (time.perf_counter() - t0) / n_timed
+def _device_loop_time(step_fn, init, n_iters, n_reps=3):
+    """Wall-time of ``lax.fori_loop(0, n_iters, step_fn, init)`` as ONE
+    compiled dispatch, synced by fetching bytes of the result to host.
+
+    Host-side per-call timing is unusable through the remote-execution
+    tunnel: even with the carry chained through every call (so no cache
+    can serve a repeat), the 2026-08-19 run clocked "72 TB/s" copy —
+    88× the physical HBM peak — because dispatch acknowledgement is not
+    execution.  An on-device loop makes the kernel the only thing that
+    can absorb the time, and ``device_get`` of a slice (not
+    ``block_until_ready``) is the only sync the tunnel provably honors.
+    Returns seconds per loop iteration (min over reps, tunnel overhead
+    subtracted via an n_iters=1 baseline)."""
+    import jax.lax as lax
+
+    def run(k):
+        fn = jax.jit(lambda v: lax.fori_loop(0, k, step_fn, v))
+        y = fn(init)
+        jax.device_get(y.ravel()[:8])  # compile + warmup, hard sync
+        best = float("inf")
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            y = fn(init)
+            jax.device_get(y.ravel()[:8])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_base, t_full = run(1), run(n_iters)
+    if t_full <= t_base * 1.05:
+        # the loop body vanished (or noise swamped it) — a bandwidth
+        # computed from this difference would be fiction
+        return float("nan")
+    return (t_full - t_base) / (n_iters - 1)
 
 
-def stream_peaks(n_bytes: int = 1 << 30):
+def stream_peaks(n_bytes: int = 1 << 30, n_iters: int = 64):
     """STREAM-style achieved-bandwidth microbenchmarks (GB/s).
 
-    copy:  y = reverse(x)   (reads N, writes N → 2N bytes; reverse, not
-                             ``x + 0.0``, so XLA cannot alias it away)
-    scale: y = a*x          (2N)
-    triad: y = x + a*z      (3N)
+    Each kernel runs ``n_iters`` times inside one on-device fori_loop
+    (see ``_device_loop_time`` for why host-side loops lie here).  The
+    loop body must not be foldable across iterations: float reassociation
+    (``(v*a)*a -> v*a²``) is numerics-changing, so XLA keeps every
+    multiply; the carry dependency keeps every iteration's read+write.
+
+    scale: v = a*v          (reads N, writes N → 2N bytes)
+    triad: v = a*v + z      (3N)
     """
     n = n_bytes // 4
-    x = jnp.arange(n, dtype=jnp.float32)  # materialized on device
-    z = jnp.ones((n,), jnp.float32)
+    x = jnp.arange(n, dtype=jnp.float32) / n  # materialized on device
+    z = jnp.full((n,), 1e-6, jnp.float32)
     rows = {}
 
-    copy = jax.jit(lambda v: v[::-1])
-    dt = _timeit_chain(copy, x)
-    rows["copy"] = 2 * n * 4 / dt / 1e9
-
-    scale = jax.jit(lambda v: v * 1.0000001)
-    dt = _timeit_chain(scale, x)
+    dt = _device_loop_time(lambda i, v: v * 1.0000001, x, n_iters)
     rows["scale"] = 2 * n * 4 / dt / 1e9
 
-    triad = jax.jit(lambda v, w: v + 1.0000001 * w)
-    dt = _timeit_chain(triad, x, z)
+    dt = _device_loop_time(lambda i, v: v * 1.0000001 + z, x, n_iters)
     rows["triad"] = 3 * n * 4 / dt / 1e9
     return rows
 
@@ -122,7 +143,8 @@ def main():
     print(json.dumps({"bench": "hbm_stream_peaks_gbps",
                       **{k: round(v, 1) for k, v in peaks.items()}}),
           flush=True)
-    practical = max(peaks.values())
+    finite = [v for v in peaks.values() if v == v]
+    practical = max(finite) if finite else float("nan")
 
     trace_dir = None if args.no_trace else args.trace_dir
     ips, flops, byts, ms = headline_step(trace_dir)
