@@ -75,6 +75,8 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
                            dtype: str | None = None,
                            scan_steps: int | None = None,
                            remat: bool | None = None,
+                           st_method: str | None = None,
+                           st_block_b: int | None = None,
                            with_cost: bool = False,
                            resident_data: int = 0,
                            config_name: str = "canonical"):
@@ -102,10 +104,13 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
         tr_kw["scan_steps"] = scan_steps
     if tr_kw:
         repl["train"] = dataclasses.replace(config.train, **tr_kw)
-    if dtype is not None or remat is not None:
+    if (dtype is not None or remat is not None or st_method is not None
+            or st_block_b is not None):
         repl["model"] = dataclasses.replace(
             config.model, dtype=dtype or config.model.dtype,
-            remat=config.model.remat if remat is None else remat)
+            remat=config.model.remat if remat is None else remat,
+            st_method=st_method or config.model.st_method,
+            st_block_b=st_block_b or config.model.st_block_b)
     if repl:
         config = dataclasses.replace(config, **repl)
     scan_steps = max(1, config.train.scan_steps)
@@ -234,6 +239,17 @@ def main():
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan-steps", type=int, default=None)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--st-method", default=None, choices=["xla", "pallas"],
+                   help="override the spatial-transformer backend (the "
+                        "r4 train_st grid measured the tuned Pallas "
+                        "kernel beating XLA at batch 1024)")
+    p.add_argument("--st-block-b", type=int, default=None,
+                   help="Pallas ST batch-block size (grid winner: 32)")
+    p.add_argument("--config", default=None, metavar="PRESET",
+                   help="base preset for an explicit-point measurement "
+                        "(default: canonical); lets a probe run e.g. "
+                        "canonical_fast verbatim with only --st-method "
+                        "flipped")
     p.add_argument("--sweep", action="store_true",
                    help="re-measure the full operating-point grid "
                         "(batch × dtype × scan × remat) and report the "
@@ -270,6 +286,8 @@ def main():
 
     explicit_point = (args.batch_size is not None or args.dtype is not None
                       or args.scan_steps is not None or args.remat
+                      or args.st_method is not None
+                      or args.st_block_b is not None
                       or args.resident_data)
     if args.sweep:
         # Full operating-point grid re-measure (VERDICT r3 #9: keep the
@@ -304,24 +322,30 @@ def main():
             remat=win_remat, with_cost=True, config_name="canonical")
         best = (ips, best[1], best[2], best[3], flops, byts, ms)
         config_tag = f"canonical grid winner (remat={win_remat})"
-    elif explicit_point:
+    elif explicit_point or args.config:
         # any operating-point flag selects the single-point path (the
         # sweep below would silently ignore the requested point)
+        base_name = args.config or "canonical"
         ips, flops, byts, ms = measure_images_per_sec(
             batch_size=args.batch_size, dtype=args.dtype,
             scan_steps=args.scan_steps, remat=args.remat or None,
-            with_cost=True, resident_data=args.resident_data)
+            st_method=args.st_method, st_block_b=args.st_block_b,
+            with_cost=True, resident_data=args.resident_data,
+            config_name=base_name)
         # record the point actually measured: a None flag falls back to
         # the preset's field inside measure_images_per_sec, so the
         # provenance must resolve the same way (canonical now ships
         # scan_steps=50 — `or 1` would claim an unscanned step)
         from attend_infer_repeat_tpu.configs import get_config
-        base = get_config("canonical")
+        base = get_config(base_name)
         best = (ips, args.batch_size or base.train.batch_size,
                 args.dtype or base.model.dtype,
                 args.scan_steps or base.train.scan_steps,
                 flops, byts, ms)
-        config_tag = "canonical (explicit point)"
+        config_tag = f"{base_name} (explicit point)"
+        if args.st_method or args.st_block_b:
+            config_tag += (f" st={args.st_method or base.model.st_method}"
+                           f"/b{args.st_block_b or base.model.st_block_b}")
     else:
         # HEADLINE: the shipped `canonical_fast` preset VERBATIM —
         # bf16 + scan + remat are preset fields now (VERDICT r3 #1), so
