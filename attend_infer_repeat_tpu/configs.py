@@ -72,6 +72,17 @@ class ModelConfig:
     # between the digit scale and twice the minimum digit-center spacing;
     # None = reference behavior (unconstrained).
     max_scale: Optional[float] = None
+    # Step at which ``max_scale`` ENGAGES (0 = from the start).  Two-phase
+    # schedule for sparse canvases where a cap from step 0 collapses
+    # presence (capped exploratory windows never find ink — measured on
+    # the crowded preset, E[n]→0): phase A trains uncapped so oversized
+    # windows bootstrap E[n]; from this step the cap engages and the
+    # merged-window optimum becomes unrepresentable.  Implemented as a
+    # loop-level switch between two jitted programs (the cap stays a
+    # static compile-time constant in each — no dynamic scalars on the
+    # hot path); resume-safe because the active phase derives from the
+    # restored step.  Must be a multiple of ``train.scan_steps``.
+    max_scale_from_step: int = 0
 
     # Presence predictor: positive initial logit bias so the model starts
     # by taking steps (explore), with the annealed geometric prior pruning

@@ -181,11 +181,18 @@ def train(config: Config | str, workdir: str = "runs/default",
         tcfg.batch_size, seed=tcfg.seed + int(state.step)) \
         if stream_data else None
 
-    train_step = make_train_step(config, model, digit_bank=train_bank,
-                                 device_data=device_data)
+    import dataclasses
+
     # dispatch amortizer: K steps per lax.scan dispatch (on-device data
     # paths only: synthesis or HBM-resident dataset)
     k_scan = max(1, tcfg.scan_steps) if train_iter is None else 1
+    # Two-phase max_scale cap (see the ``max_scale_from_step`` config
+    # note): before the boundary the loop runs a CAPLESS twin of every
+    # jitted program; at the boundary it switches to the capped ones.
+    # Each phase's cap is a static compile-time constant — the switch
+    # costs one extra compile, never a dynamic scalar on the hot path.
+    cap_from = config.model.max_scale_from_step \
+        if config.model.max_scale is not None else 0
     if k_scan > 1:
         from attend_infer_repeat_tpu.train.step import make_scan_train_step
         for nm, iv in (("log_every", tcfg.log_every),
@@ -194,22 +201,51 @@ def train(config: Config | str, workdir: str = "runs/default",
             if iv % k_scan:
                 raise ValueError(
                     f"{nm}={iv} must be a multiple of scan_steps={k_scan}")
-        scan_step = make_scan_train_step(config, model, train_bank, k_scan,
-                                         device_data=device_data)
-    eval_step = make_eval_step(config, model)
-    iwae_step = None
-    if tcfg.iwae_eval_particles > 0:
-        import dataclasses
+        if cap_from % k_scan:
+            raise ValueError(
+                f"max_scale_from_step={cap_from} must be a multiple of "
+                f"scan_steps={k_scan} (a scan chunk cannot switch "
+                f"programs mid-flight)")
 
-        from attend_infer_repeat_tpu.eval.iwae import make_iwae_eval_step
+    def _build_steps(mcfg):
+        pcfg = dataclasses.replace(config, model=mcfg)
+        pmodel = AIRModel(mcfg, use_baseline=tcfg.use_baseline)
+        steps = {
+            "mcfg": mcfg,
+            "train": make_train_step(pcfg, pmodel, digit_bank=train_bank,
+                                     device_data=device_data),
+            "eval": make_eval_step(pcfg, pmodel),
+            "scan": None,
+            "iwae": None,
+        }
+        if k_scan > 1:
+            steps["scan"] = make_scan_train_step(
+                pcfg, pmodel, train_bank, k_scan, device_data=device_data)
+        if tcfg.iwae_eval_particles > 0:
+            from attend_infer_repeat_tpu.eval.iwae import make_iwae_eval_step
 
-        # the IWAE bound evaluates q at its OWN samples — use the
-        # floor-free posterior, same eval protocol as make_eval_step
-        iwae_model = AIRModel(
-            dataclasses.replace(config.model, explore_eps=None),
-            use_baseline=tcfg.use_baseline)
-        iwae_step = make_iwae_eval_step(config, iwae_model,
-                                        tcfg.iwae_eval_particles)
+            # the IWAE bound evaluates q at its OWN samples — use the
+            # floor-free posterior, same eval protocol as make_eval_step
+            iwae_model = AIRModel(
+                dataclasses.replace(mcfg, explore_eps=None),
+                use_baseline=tcfg.use_baseline)
+            steps["iwae"] = make_iwae_eval_step(
+                pcfg, iwae_model, tcfg.iwae_eval_particles)
+        return steps
+
+    _phase_steps = {}
+
+    def steps_for(step_no):
+        """The active phase's jitted programs (built lazily, cached)."""
+        capped = step_no >= cap_from
+        if capped not in _phase_steps:
+            mcfg = config.model if capped else dataclasses.replace(
+                config.model, max_scale=None)
+            if not capped:
+                print(f"two-phase max_scale: cap {config.model.max_scale} "
+                      f"OFF until step {cap_from}", flush=True)
+            _phase_steps[capped] = _build_steps(mcfg)
+        return _phase_steps[capped]
     logger = MetricsLogger(workdir, use_tensorboard=use_tensorboard)
     eval_key = jax.random.key(tcfg.seed + 1)
     train_eval_key = jax.random.key(tcfg.seed + 2)
@@ -261,57 +297,64 @@ def train(config: Config | str, workdir: str = "runs/default",
     figs_enabled = True    # flips off once if matplotlib (the optional
     it = start             # [viz] extra) is absent — training continues
     while it < n_iters:
+        steps = steps_for(it)
         if train_iter is None:
             # scan chunks only from k_scan-aligned steps: a resume from a
             # non-multiple step (e.g. a run stopped by --iters not on the
             # grid) first single-steps back onto the grid, keeping step_no
-            # aligned with the log/fig/save intervals
+            # aligned with the log/fig/save intervals (cap_from is
+            # k_scan-aligned too, so a chunk never crosses the phase
+            # boundary)
             if k_scan > 1 and it % k_scan == 0 and n_iters - it >= k_scan:
-                state, chunk = scan_step(state)
+                state, chunk = steps["scan"](state)
                 metrics = jax.tree.map(lambda a: a[-1], chunk)
                 it += k_scan
             else:
-                state, metrics = train_step(state)
+                state, metrics = steps["train"](state)
                 it += 1
         else:
             imgs, nums = next(train_iter)
-            state, metrics = train_step(
+            state, metrics = steps["train"](
                 state, (jnp.asarray(imgs), jnp.asarray(nums)))
             it += 1
 
         step_no = it
+        # log/fig programs follow the phase the COMPLETED step ran in
+        # (at the boundary exactly, step_no == cap_from selects capped —
+        # the state has finished its capless budget)
+        steps = steps_for(step_no)
         if step_no % tcfg.log_every == 0 or step_no == n_iters:
             logger.log(step_no, jax.device_get(metrics), prefix="train")
-            ev = evaluate(eval_step, state, eval_batches(),
+            ev = evaluate(steps["eval"], state, eval_batches(),
                           jax.random.fold_in(eval_key, step_no))
             logger.log(step_no, ev, prefix="eval")
             # same fixed-batch protocol on held-IN data (reference
             # make_logger runs train AND validation splits — SURVEY §4.5)
-            tr_ev = evaluate(eval_step, state, train_eval_batches(),
+            tr_ev = evaluate(steps["eval"], state, train_eval_batches(),
                              jax.random.fold_in(train_eval_key, step_no))
             logger.log(step_no, tr_ev, prefix="train_eval")
             if best is not None and tcfg.best_metric in ev:
                 if best.offer(state, float(ev[tcfg.best_metric])):
                     print(f"[best {step_no}] {tcfg.best_metric}="
                           f"{best.best:.4f} → ckpt_best", flush=True)
-            if iwae_step is not None:
+            if steps["iwae"] is not None:
                 iw_imgs, _ = eval_synth(
                     jax.random.fold_in(eval_key, 0x1A3), tcfg.batch_size)
-                iw = iwae_step(state, iw_imgs,
-                               jax.random.fold_in(eval_key, step_no + 1))
+                iw = steps["iwae"](state, iw_imgs,
+                                   jax.random.fold_in(eval_key, step_no + 1))
                 logger.log(step_no, jax.device_get(iw), prefix="iwae")
         if figs_enabled and (step_no % tcfg.fig_every == 0
                              or step_no == n_iters):
             fig_key = jax.random.fold_in(eval_key, 0xF16)
             imgs, nums = eval_synth(
                 jax.random.fold_in(fig_key, step_no), tcfg.batch_size)
-            _, outputs = eval_step(state, imgs, nums,
-                                   jax.random.fold_in(eval_key, step_no))
+            _, outputs = steps["eval"](state, imgs, nums,
+                                       jax.random.fold_in(eval_key, step_no))
             try:
                 make_fig(np.asarray(imgs), outputs,
                          os.path.join(workdir, f"fig_{step_no:07d}.png"),
                          true_nums=np.asarray(nums),
-                         max_scale=config.model.max_scale)
+                         max_scale=steps["mcfg"].max_scale)
             except ImportError as e:
                 figs_enabled = False
                 print(f"figures disabled ({e}); install the [viz] extra "

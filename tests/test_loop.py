@@ -160,3 +160,49 @@ def test_train_loop_scan_and_iwae_logging(tmp_path):
     assert iw and all(np.isfinite(r["iwae_bound"]) for r in iw)
     # bound must sit at or above its own single-sample ELBO estimate
     assert all(r["iwae_bound"] >= r["elbo"] - 1.0 for r in iw)
+
+
+def test_two_phase_max_scale_cap(tmp_path):
+    """``max_scale_from_step`` runs the CAPLESS program before the
+    boundary (bitwise-identical to ``max_scale=None``) and engages the
+    cap from it (a binding cap must change the trajectory)."""
+    import jax
+    import numpy as np
+
+    def mk(max_scale, from_step, n_iters):
+        cfg = tiny_config(n_iters=n_iters, log_every=100, fig_every=100,
+                          save_every=100, eval_batches=1)
+        return dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, max_scale=max_scale,
+                max_scale_from_step=from_step))
+
+    kw = dict(use_tensorboard=False, save_checkpoints=False)
+    # phase A ≡ capless, bitwise (same seed → same data/model keys)
+    s_free = train(mk(None, 0, 2), workdir=str(tmp_path / "free"), **kw)
+    s_2p = train(mk(1e-6, 2, 2), workdir=str(tmp_path / "twop"), **kw)
+    a = jax.tree.leaves(s_free.params)
+    b = jax.tree.leaves(s_2p.params)
+    assert all(np.array_equal(x, y) for x, y in zip(a, b))
+
+    # past the boundary a (certainly binding) 1e-6 cap must diverge from
+    # the capless trajectory
+    s_free4 = train(mk(None, 0, 4), workdir=str(tmp_path / "free4"), **kw)
+    s_2p4 = train(mk(1e-6, 2, 4), workdir=str(tmp_path / "twop4"), **kw)
+    diffs = [float(np.abs(np.asarray(x) - np.asarray(y)).max())
+             for x, y in zip(jax.tree.leaves(s_free4.params),
+                             jax.tree.leaves(s_2p4.params))]
+    assert max(diffs) > 0.0
+
+
+def test_two_phase_cap_requires_scan_alignment(tmp_path):
+    """A scan chunk cannot switch programs mid-flight: misaligned
+    ``max_scale_from_step`` is rejected up front."""
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=2, save_every=2,
+                      eval_batches=1, scan_steps=2)
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, max_scale=0.5, max_scale_from_step=3))
+    with pytest.raises(ValueError, match="max_scale_from_step"):
+        train(cfg, workdir=str(tmp_path / "bad"),
+              use_tensorboard=False, save_checkpoints=False)
