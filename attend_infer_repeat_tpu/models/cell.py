@@ -104,9 +104,17 @@ class AIRCell(nn.Module):
             k_where, where_loc.shape)
         z_where = expand_where(cfg, z_w)   # 4-dim affine for the ST
 
-        glimpse = st_gather(img, st_where(cfg, z_where), cfg.glimpse_size,
-                            method=cfg.st_method, block_b=cfg.st_block_b,
-                            compute_dtype=cfg.dtype)
+        # checkpoint_name tags the ST outputs for remat POLICIES (free
+        # when no policy is active): with remat_policy="save_st" the
+        # backward pass reuses these saved results instead of re-running
+        # the kernels — the fix for the r20 finding that a rematerialized
+        # `pallas_call` boundary erases the tuned kernel's win
+        # (VERDICT r3 next #5).
+        from jax.ad_checkpoint import checkpoint_name
+        glimpse = checkpoint_name(
+            st_gather(img, st_where(cfg, z_where), cfg.glimpse_size,
+                      method=cfg.st_method, block_b=cfg.st_block_b,
+                      compute_dtype=cfg.dtype), "st_gather")
         what_loc, what_scale = GlimpseEncoder(cfg)(
             glimpse.reshape(batch, -1))
         z_what = what_loc + what_scale * jax.random.normal(
@@ -137,9 +145,11 @@ class AIRCell(nn.Module):
         # the Pallas kernel's dot_generals must not cast the decoder's
         # f32 glimpse back to bf16 (the XLA path follows input dtypes
         # automatically; compute_dtype only steers the kernel)
-        paste = st_paste(glimpse_out, st_where(cfg, z_where), cfg.img_size,
-                         method=cfg.st_method, block_b=cfg.st_block_b,
-                         compute_dtype=cfg.decoder_dtype or cfg.dtype)
+        paste = checkpoint_name(
+            st_paste(glimpse_out, st_where(cfg, z_where), cfg.img_size,
+                     method=cfg.st_method, block_b=cfg.st_block_b,
+                     compute_dtype=cfg.decoder_dtype or cfg.dtype),
+            "st_paste")
         canvas = canvas + z_pres[..., None] * paste
 
         out = AIRStepOutput(
@@ -167,9 +177,23 @@ def make_scan_cell(cfg: ModelConfig, decoder: Any = None) -> Any:
     recomputes each step's activations instead of spilling them to HBM
     (the step is HBM-bound, not MXU-bound — see the ``remat`` config
     note), at the cost of a second forward per step.
+    ``cfg.remat_policy="save_st"`` exempts the spatial-transformer
+    outputs from rematerialization (``save_only_these_names`` over the
+    ``checkpoint_name`` tags above): the backward reuses the saved
+    gather/paste results instead of re-running the kernels — relevant
+    when the ST backend is the opaque Pallas ``pallas_call`` whose
+    recompute blocks the scan-body fusion (r20 finding).
     """
-    cell_cls = nn.remat(AIRCell, prevent_cse=False) if cfg.remat \
-        else AIRCell
+    if cfg.remat:
+        policy = None
+        if cfg.remat_policy == "save_st":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "st_gather", "st_paste")
+        elif cfg.remat_policy != "full":
+            raise ValueError(f"unknown remat_policy {cfg.remat_policy!r}")
+        cell_cls = nn.remat(AIRCell, prevent_cse=False, policy=policy)
+    else:
+        cell_cls = AIRCell
     return nn.scan(
         cell_cls,
         variable_broadcast="params",

@@ -144,8 +144,73 @@ def count_accuracy(outputs: AIROutputs, true_counts: jax.Array,
                     .astype(jnp.float32))
 
 
+def vimco_surrogate_loss(log_w: jax.Array, log_q_pres: jax.Array,
+                         ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """k-particle importance-weighted objective (IWAE, Burda et al. 2016)
+    with VIMCO leave-one-out control variates for the discrete presence
+    chain (Mnih & Rezende 2016, eq. 8) — BASELINE config 4's bound as a
+    TRAINING objective, not just an eval metric (VERDICT r3 next #6).
+
+    Args:
+      log_w:      (k, B) per-particle sampled-latent log importance
+                  weights ``log p(x, z_j) − log q(z_j | x)``
+                  (``log_importance_weights``), DIFFERENTIABLE — pathwise
+                  gradients flow through the reparameterized continuous
+                  latents and through both densities.
+      log_q_pres: (k, B) per-particle log-prob of the sampled presence
+                  chain (``presence_log_prob(...).sum(-1)``).
+
+    The scalar loss's gradient is the full VIMCO estimator:
+
+      −∇ E[L̂]  with  ∇L̂ = Σ_j w̃_j ∇log w_j                (pathwise: this
+                          is literally ∇ logsumexp, no surrogate needed)
+                    + Σ_j sg(L̂ − L̂_{−j}) ∇log q(pres_j)   (score term)
+
+    where ``w̃`` are the softmax-normalized weights and ``L̂_{−j}`` is the
+    bound with particle j's log-weight replaced by the arithmetic mean of
+    the OTHERS' log-weights (the geometric mean of their weights) — a
+    per-particle control variate that needs no learned baseline network.
+    Requires k ≥ 2.
+
+    Returns ``(loss, metrics)``; ``iwae_bound`` in the metrics is the
+    per-batch mean of the k-particle bound being optimized.
+    """
+    k = log_w.shape[0]
+    if k < 2:
+        raise ValueError(f"VIMCO needs k >= 2 particles, got k={k}")
+    logk = jnp.log(float(k))
+    bound = jax.nn.logsumexp(log_w, axis=0) - logk          # (B,)
+
+    # leave-one-out baselines: L̂_{−j} = logsumexp of log_w with entry j
+    # replaced by mean_{i≠j} log_w_i
+    loo_mean = (jnp.sum(log_w, axis=0)[None] - log_w) / (k - 1)   # (k, B)
+    eye = jnp.eye(k, dtype=bool)
+    # (k_baseline, k_particle, B): row j = log_w with slot j → loo_mean_j
+    replaced = jnp.where(eye[:, :, None], loo_mean[:, None, :],
+                         log_w[None, :, :])
+    baseline = jax.nn.logsumexp(replaced, axis=1) - logk    # (k, B)
+
+    advantage = sg(bound[None] - baseline)                  # (k, B)
+    score = jnp.sum(advantage * log_q_pres, axis=0)         # (B,)
+
+    loss = jnp.mean(-bound - score)
+
+    w_tilde = jax.nn.softmax(sg(log_w), axis=0)             # (k, B)
+    metrics = {
+        "iwae_bound": jnp.mean(bound),
+        "log_w_mean": jnp.mean(log_w),
+        "advantage_abs": jnp.mean(jnp.abs(advantage)),
+        # effective sample size per image, 1 (degenerate) .. k (uniform):
+        # collapse toward 1 means q is too loose for the particle count
+        "ess": jnp.mean(1.0 / jnp.sum(w_tilde ** 2, axis=0)),
+    }
+    return loss, metrics
+
+
 def log_importance_weights(outputs: AIROutputs, cfg,
-                           prior_success_prob) -> jax.Array:
+                           prior_success_prob,
+                           what_weight: jax.Array | float = 1.0
+                           ) -> jax.Array:
     """Per-example ``log [p(x, z) / q(z | x)]`` at the SAMPLED latents.
 
     The valid per-particle quantity for an IWAE bound (Burda et al. 2016):
@@ -164,6 +229,11 @@ def log_importance_weights(outputs: AIROutputs, cfg,
     a pmf lookup.  ``E_q[log w]`` equals the ELBO, so this is also the
     single-sample stochastic-KL ELBO estimator (tested against the
     analytic one in ``tests/test_estimator.py``).
+
+    ``what_weight`` scales the appearance (z_what) density-ratio term —
+    the IWAE-training analog of the ELBO path's ``kl_beta`` warmup
+    (β-down-weighted appearance KL); at 1.0 (the default, and after
+    warmup) this is the exact log weight.
     """
     from attend_infer_repeat_tpu.models.modules import where_param_indices
     from attend_infer_repeat_tpu.ops.distributions import (
@@ -184,7 +254,8 @@ def log_importance_weights(outputs: AIROutputs, cfg,
     lw_what = jnp.sum(
         normal_log_prob(s.z_what, 0.0, 1.0)
         - normal_log_prob(s.z_what, s.what_loc, s.what_scale), axis=-1)
-    continuous = jnp.sum(pres * (lw_where + lw_what), axis=-1)   # (B,)
+    continuous = jnp.sum(
+        pres * (lw_where + what_weight * lw_what), axis=-1)      # (B,)
 
     t_steps = pres.shape[-1]
     n = jnp.sum(pres, axis=-1).astype(jnp.int32)             # sampled count

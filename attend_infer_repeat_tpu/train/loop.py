@@ -142,9 +142,29 @@ def train(config: Config | str, workdir: str = "runs/default",
         sample_imgs, _ = make_synth_fn(config.data, train_bank)(
             sample_key, tcfg.batch_size)
 
+    # --- early-basin restart bookkeeping (TrainConfig.basin_*) -----------
+    # ``attempt`` counts detect-and-restart reinitializations; it persists
+    # in a sidecar so a preempted attempt resumes as ITSELF (same folded
+    # seed) instead of silently restarting attempt 0.
+    import json as _json
+
+    restart_path = os.path.join(workdir, "restarts.json")
+    attempt = 0
+    if not resume and os.path.exists(restart_path):
+        os.remove(restart_path)
+    if resume and os.path.exists(restart_path):
+        with open(restart_path) as f:
+            attempt = int(_json.load(f).get("attempt", 0))
+
+    def _attempt_seed(a: int) -> int:
+        # a prime stride keeps folded seeds far from the sibling streams
+        # (seed+1 / seed+2 are the eval-key namespaces below)
+        return tcfg.seed if a == 0 else tcfg.seed + 7919 * a
+
     # --- model + state ----------------------------------------------------
     model = AIRModel(config.model, use_baseline=tcfg.use_baseline)
-    state = create_train_state(config, model, sample_imgs)
+    state = create_train_state(config, model, sample_imgs,
+                               seed=_attempt_seed(attempt))
     # startup banner (reference experiment_tools prints flags + param count)
     print(f"config: {config.name}  model={config.model}  "
           f"train={config.train}  prior={config.prior}  "
@@ -206,6 +226,11 @@ def train(config: Config | str, workdir: str = "runs/default",
                 f"max_scale_from_step={cap_from} must be a multiple of "
                 f"scan_steps={k_scan} (a scan chunk cannot switch "
                 f"programs mid-flight)")
+    if tcfg.basin_detect_step and tcfg.basin_detect_step % tcfg.log_every:
+        raise ValueError(
+            f"basin_detect_step={tcfg.basin_detect_step} must be a "
+            f"multiple of log_every={tcfg.log_every} (the detector reads "
+            f"the held-out eval that runs at log points)")
 
     def _build_steps(mcfg):
         pcfg = dataclasses.replace(config, model=mcfg)
@@ -259,6 +284,33 @@ def train(config: Config | str, workdir: str = "runs/default",
         for i in range(tcfg.eval_batches):
             yield train_eval_synth(jax.random.fold_in(train_eval_key, i),
                                    tcfg.batch_size, i)
+
+    def count_marginal_tv(steps, cur_state):
+        """Label-free basin statistic, logged beside the detector's gate:
+        total variation between the model's predicted-count marginal on
+        held-out batches and the data's count marginal (the synthesis
+        config's Uniform{min..max}, or the eval pickle's empirical
+        histogram on the pickle path)."""
+        t = config.model.max_steps
+        hist = np.zeros(t + 1)
+        nums_hist = np.zeros(t + 1)
+        for i, (imgs, nums) in enumerate(eval_batches()):
+            _, outs = steps["eval"](
+                cur_state, imgs, nums,
+                jax.random.fold_in(eval_key, 0xBA51 + i))
+            m = np.clip(np.asarray(outs.mode_steps).astype(int), 0, t)
+            hist += np.bincount(m, minlength=t + 1)[:t + 1]
+            nv = np.clip(np.asarray(nums).astype(int), 0, t)
+            nums_hist += np.bincount(nv, minlength=t + 1)[:t + 1]
+        hist /= max(hist.sum(), 1.0)
+        if data_path is None:
+            lo, hi = config.data.min_digits, min(config.data.max_digits, t)
+            target = np.zeros(t + 1)
+            target[lo:hi + 1] = 1.0 / (
+                config.data.max_digits - config.data.min_digits + 1)
+        else:
+            target = nums_hist / max(nums_hist.sum(), 1.0)
+        return float(0.5 * np.abs(hist - target).sum())
 
     # --- preemption-save hook (SURVEY §6 failure row; VERDICT r3 #8) ----
     # On SIGTERM/SIGINT: finish the in-flight step, force-save the
@@ -343,6 +395,46 @@ def train(config: Config | str, workdir: str = "runs/default",
                 iw = steps["iwae"](state, iw_imgs,
                                    jax.random.fold_in(eval_key, step_no + 1))
                 logger.log(step_no, jax.device_get(iw), prefix="iwae")
+            # --- early-basin detect-and-restart (TrainConfig.basin_*) --
+            if (tcfg.basin_detect_step
+                    and step_no == tcfg.basin_detect_step):
+                acc = float(ev.get("count_accuracy_mode", 1.0))
+                tv = count_marginal_tv(steps, state)
+                logger.log(step_no, {"accuracy": acc, "tv": tv,
+                                     "attempt": float(attempt)},
+                           prefix="basin")
+                if (acc < tcfg.basin_accuracy_threshold
+                        and attempt < tcfg.basin_max_restarts):
+                    attempt += 1
+                    new_seed = _attempt_seed(attempt)
+                    print(f"[basin-restart] held-out mode accuracy "
+                          f"{acc:.4f} < {tcfg.basin_accuracy_threshold} "
+                          f"at step {step_no} (count-marginal TV "
+                          f"{tv:.4f}); reinit "
+                          f"{attempt}/{tcfg.basin_max_restarts} with "
+                          f"seed {new_seed}", flush=True)
+                    with open(restart_path, "w") as f:
+                        _json.dump({"attempt": attempt, "seed": new_seed,
+                                    "trigger_step": step_no,
+                                    "trigger_accuracy": acc,
+                                    "trigger_tv": tv}, f)
+                    state = create_train_state(config, model, sample_imgs,
+                                               seed=new_seed)
+                    if ckpt is not None:
+                        ckpt.wait()
+                        ckpt.close()
+                        ckpt = CheckpointManager(
+                            os.path.join(workdir, "ckpt"), fresh=True)
+                    if best is not None:
+                        best.wait()
+                        best.close()
+                        best = BestCheckpointTracker(
+                            os.path.join(workdir, "ckpt_best"), fresh=True)
+                    import glob as _glob
+                    for p in _glob.glob(os.path.join(workdir, "fig_*.png")):
+                        os.remove(p)     # stale figures feed the GIF tool
+                    it = 0
+                    continue
         if figs_enabled and (step_no % tcfg.fig_every == 0
                              or step_no == n_iters):
             fig_key = jax.random.fold_in(eval_key, 0xF16)

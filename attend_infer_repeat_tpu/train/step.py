@@ -21,7 +21,10 @@ from attend_infer_repeat_tpu.configs import Config
 from attend_infer_repeat_tpu.data.synth import synthesize_batch
 from attend_infer_repeat_tpu.models.estimator import (
     count_accuracy,
+    log_importance_weights,
+    presence_log_prob,
     surrogate_loss,
+    vimco_surrogate_loss,
 )
 from attend_infer_repeat_tpu.train.state import (
     TrainState,
@@ -102,15 +105,50 @@ def make_train_step(config: Config, model, digit_bank=None,
         else:
             kl_beta = 1.0
 
-        def loss_fn(params):
-            outputs = model.apply(params, imgs, k_model, p_success)
-            loss, metrics = surrogate_loss(
-                outputs,
-                l2_params_norm=_l2_norm_sq(params),
-                l2_weight=tcfg.l2_weight,
-                kl_beta=kl_beta,
-                advantage_norm=tcfg.advantage_norm)
-            return loss, (metrics, outputs)
+        if tcfg.objective == "iwae":
+            # k-particle importance-weighted objective with VIMCO
+            # leave-one-out baselines (BASELINE config 4 trained, not
+            # just evaluated — VERDICT r3 next #6).  Particles are a
+            # vmap'd batch-axis expansion (SURVEY §3.1 particle row),
+            # so the k× compute rides the same fused XLA program.
+            def loss_fn(params):
+                keys = jax.random.split(k_model, tcfg.iwae_particles)
+
+                def one_particle(kk):
+                    out = model.apply(params, imgs, kk, p_success)
+                    lw = log_importance_weights(
+                        out, config.model, p_success, what_weight=kl_beta)
+                    lqp = jnp.sum(presence_log_prob(out), axis=-1)
+                    return lw, lqp, out
+
+                lw, lqp, outs = jax.vmap(one_particle)(keys)   # (k, B, ...)
+                loss, metrics = vimco_surrogate_loss(lw, lqp)
+                if tcfg.l2_weight:
+                    loss = loss + tcfg.l2_weight * _l2_norm_sq(params)
+                # particle 0 carries the reporting surface (count
+                # metrics, figures); the ELBO decomposition is averaged
+                # over particles
+                outputs = jax.tree.map(lambda a: a[0], outs)
+                metrics.update(
+                    elbo=jnp.mean(outs.elbo),
+                    log_likelihood=jnp.mean(outs.log_likelihood),
+                    kl_what=jnp.mean(outs.kl_what),
+                    kl_where=jnp.mean(outs.kl_where),
+                    kl_steps=jnp.mean(outs.kl_steps),
+                    expected_steps=jnp.mean(outs.expected_steps),
+                    predicted_steps=jnp.mean(outs.predicted_steps),
+                    baseline_mse=jnp.asarray(0.0))
+                return loss, (metrics, outputs)
+        else:
+            def loss_fn(params):
+                outputs = model.apply(params, imgs, k_model, p_success)
+                loss, metrics = surrogate_loss(
+                    outputs,
+                    l2_params_norm=_l2_norm_sq(params),
+                    l2_weight=tcfg.l2_weight,
+                    kl_beta=kl_beta,
+                    advantage_norm=tcfg.advantage_norm)
+                return loss, (metrics, outputs)
 
         grads, (metrics, outputs) = jax.grad(
             loss_fn, has_aux=True)(state.params)

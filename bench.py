@@ -75,6 +75,7 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
                            dtype: str | None = None,
                            scan_steps: int | None = None,
                            remat: bool | None = None,
+                           remat_policy: str | None = None,
                            st_method: str | None = None,
                            st_block_b: int | None = None,
                            with_cost: bool = False,
@@ -105,10 +106,11 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
     if tr_kw:
         repl["train"] = dataclasses.replace(config.train, **tr_kw)
     if (dtype is not None or remat is not None or st_method is not None
-            or st_block_b is not None):
+            or st_block_b is not None or remat_policy is not None):
         repl["model"] = dataclasses.replace(
             config.model, dtype=dtype or config.model.dtype,
             remat=config.model.remat if remat is None else remat,
+            remat_policy=remat_policy or config.model.remat_policy,
             st_method=st_method or config.model.st_method,
             st_block_b=st_block_b or config.model.st_block_b)
     if repl:
@@ -238,7 +240,16 @@ def main():
     p.add_argument("--dtype", default=None,
                    choices=["float32", "bfloat16"])
     p.add_argument("--scan-steps", type=int, default=None)
-    p.add_argument("--remat", action="store_true")
+    # tri-state (ADVICE r3 #2): None = preset's field, --remat forces ON,
+    # --no-remat forces OFF (the shipped presets carry remat=True, so an
+    # OFF override must be expressible)
+    p.add_argument("--remat", action="store_true", default=None)
+    p.add_argument("--no-remat", dest="remat", action="store_false")
+    p.add_argument("--remat-policy", default=None,
+                   choices=["full", "save_st"],
+                   help="remat save policy: save_st keeps the ST "
+                        "gather/paste outputs out of the backward "
+                        "recompute (the Pallas-under-remat experiment)")
     p.add_argument("--st-method", default=None, choices=["xla", "pallas"],
                    help="override the spatial-transformer backend (the "
                         "r4 train_st grid measured the tuned Pallas "
@@ -285,7 +296,9 @@ def main():
         return
 
     explicit_point = (args.batch_size is not None or args.dtype is not None
-                      or args.scan_steps is not None or args.remat
+                      or args.scan_steps is not None
+                      or args.remat is not None
+                      or args.remat_policy is not None
                       or args.st_method is not None
                       or args.st_block_b is not None
                       or args.resident_data)
@@ -328,24 +341,32 @@ def main():
         base_name = args.config or "canonical"
         ips, flops, byts, ms = measure_images_per_sec(
             batch_size=args.batch_size, dtype=args.dtype,
-            scan_steps=args.scan_steps, remat=args.remat or None,
+            scan_steps=args.scan_steps, remat=args.remat,
+            remat_policy=args.remat_policy,
             st_method=args.st_method, st_block_b=args.st_block_b,
             with_cost=True, resident_data=args.resident_data,
             config_name=base_name)
         # record the point actually measured: a None flag falls back to
         # the preset's field inside measure_images_per_sec, so the
-        # provenance must resolve the same way (canonical now ships
-        # scan_steps=50 — `or 1` would claim an unscanned step)
+        # provenance must resolve the same way — compare against None,
+        # not truthiness (ADVICE r3 #2: `or` coerced explicit falsy
+        # values to the preset's field)
         from attend_infer_repeat_tpu.configs import get_config
         base = get_config(base_name)
-        best = (ips, args.batch_size or base.train.batch_size,
-                args.dtype or base.model.dtype,
-                args.scan_steps or base.train.scan_steps,
+
+        def _pick(flag, preset_val):
+            return preset_val if flag is None else flag
+
+        best = (ips, _pick(args.batch_size, base.train.batch_size),
+                _pick(args.dtype, base.model.dtype),
+                _pick(args.scan_steps, base.train.scan_steps),
                 flops, byts, ms)
         config_tag = f"{base_name} (explicit point)"
         if args.st_method or args.st_block_b:
             config_tag += (f" st={args.st_method or base.model.st_method}"
                            f"/b{args.st_block_b or base.model.st_block_b}")
+        if args.remat_policy:
+            config_tag += f" remat_policy={args.remat_policy}"
     else:
         # HEADLINE: the shipped `canonical_fast` preset VERBATIM —
         # bf16 + scan + remat are preset fields now (VERDICT r3 #1), so

@@ -288,6 +288,118 @@ class TestImportanceWeights:
                                    np.asarray(log_w[0]), rtol=1e-6)
 
 
+class TestVimco:
+    """The k-particle VIMCO estimator against the exact enumerated
+    gradient of the IWAE bound on a toy enumerable chain — the same
+    methodology as the NVIL test above (SURVEY §5 estimator row), for the
+    trained-IWAE objective (VERDICT r3 next #6)."""
+
+    A, C = 2.0, -1.0
+
+    def _sample_particle(self, keys, th):
+        """One particle per key: monotone 2-step chain, its sampled-latent
+        log weight ``f(n, θ) − log q_θ(n)`` and chain log-prob."""
+        p = jax.nn.sigmoid(th)
+
+        def one(key):
+            k1, k2 = jax.random.split(key)
+            pres1 = (jax.random.uniform(k1) < p[0]).astype(jnp.float32)
+            p2_eff = p[1] * pres1
+            pres2 = (jax.random.uniform(k2) < p2_eff).astype(jnp.float32)
+            n = pres1 + pres2
+            lq = bernoulli_log_prob(pres1, p[0]) \
+                + pres1 * bernoulli_log_prob(pres2, p[1])
+            lw = self.A * n + self.C + 0.1 * th[0] - lq
+            return lw, lq
+
+        return jax.vmap(one)(keys)          # (B,), (B,)
+
+    def _exact_bound(self, th, k=2):
+        """Enumerated E[logsumexp_j log w_j − log k] over the 3^k joint
+        outcomes of k iid chains (exact in θ: sampling probs explicit)."""
+        p = jax.nn.sigmoid(th)
+        q = jnp.stack([1 - p[0], p[0] * (1 - p[1]), p[0] * p[1]])
+        lw = (self.A * jnp.arange(3) + self.C + 0.1 * th[0]
+              - jnp.log(q))                 # (3,)
+        obj = 0.0
+        import itertools
+        for combo in itertools.product(range(3), repeat=k):
+            prob = 1.0
+            for i in combo:
+                prob = prob * q[i]
+            vals = jnp.stack([lw[i] for i in combo])
+            obj = obj + prob * (jax.nn.logsumexp(vals)
+                                - jnp.log(float(k)))
+        return obj
+
+    def test_vimco_matches_exact_gradient(self):
+        th = jnp.array([0.3, -0.4])
+        n = 100_000
+        base = jax.random.split(jax.random.PRNGKey(0), 2 * n)
+        keys = base.reshape(2, n, *base.shape[1:])
+
+        def neg_loss(th):
+            from attend_infer_repeat_tpu.models.estimator import (
+                vimco_surrogate_loss)
+            lw0, lq0 = self._sample_particle(keys[0], th)
+            lw1, lq1 = self._sample_particle(keys[1], th)
+            loss, _ = vimco_surrogate_loss(jnp.stack([lw0, lw1]),
+                                           jnp.stack([lq0, lq1]))
+            return -loss
+
+        got = jax.grad(neg_loss)(th)
+        want = jax.grad(self._exact_bound)(th)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=0.05, rtol=0.05)
+
+    def test_vimco_rejects_single_particle(self):
+        from attend_infer_repeat_tpu.models.estimator import (
+            vimco_surrogate_loss)
+        import pytest
+        with pytest.raises(ValueError, match="k >= 2"):
+            vimco_surrogate_loss(jnp.zeros((1, 4)), jnp.zeros((1, 4)))
+
+    def test_vimco_bound_value_matches_iwae_bound(self):
+        """The metric reported as ``iwae_bound`` equals
+        ``iwae_bound(log_w)``'s batch mean."""
+        from attend_infer_repeat_tpu.models.estimator import (
+            iwae_bound, vimco_surrogate_loss)
+        lw = jax.random.normal(jax.random.PRNGKey(2), (5, 32))
+        _, metrics = vimco_surrogate_loss(lw, jnp.zeros((5, 32)))
+        np.testing.assert_allclose(
+            float(metrics["iwae_bound"]),
+            float(jnp.mean(iwae_bound(lw, axis=0))), rtol=1e-6)
+
+    def test_vimco_what_weight_warmup_path(self):
+        """``log_importance_weights(..., what_weight=β)`` scales only the
+        appearance ratio: β=1 is the exact weight, β=0 removes the
+        z_what term."""
+        from attend_infer_repeat_tpu.configs import ModelConfig
+        from attend_infer_repeat_tpu.models.estimator import (
+            log_importance_weights)
+
+        cfg = ModelConfig(
+            img_size=(8, 8), glimpse_size=(4, 4), n_what=2, max_steps=2,
+            rnn_hidden=8, encoder_hidden=(8,), glimpse_encoder_hidden=(8,),
+            decoder_hidden=(8,), transform_hidden=(8,), steps_hidden=(4,),
+            baseline_hidden=(8,))
+        model = AIRModel(cfg)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (4, 8, 8))
+        params = model.init(jax.random.PRNGKey(1), x,
+                            jax.random.PRNGKey(2), 0.5)
+        out = model.apply(params, x, jax.random.PRNGKey(3), 0.5)
+        lw1 = log_importance_weights(out, cfg, 0.5, what_weight=1.0)
+        lw1_default = log_importance_weights(out, cfg, 0.5)
+        np.testing.assert_allclose(np.asarray(lw1),
+                                   np.asarray(lw1_default), rtol=1e-6)
+        lw0 = log_importance_weights(out, cfg, 0.5, what_weight=0.0)
+        assert np.all(np.isfinite(np.asarray(lw0)))
+        # removing the what ratio changes the weight wherever a step fired
+        fired = np.asarray(out.steps.pres).sum(-1) > 0
+        if fired.any():
+            assert np.any(np.asarray(lw0)[fired] != np.asarray(lw1)[fired])
+
+
 class TestLogProbConsistency:
     def test_bernoulli_logq_matches_chain(self):
         """log q of a sampled chain equals the sum of masked Bernoulli

@@ -195,6 +195,71 @@ def test_two_phase_max_scale_cap(tmp_path):
     assert max(diffs) > 0.0
 
 
+def test_basin_restart_triggers_reinit_and_finishes(tmp_path):
+    """Early-basin detect-and-restart (TrainConfig.basin_*): with an
+    always-triggering threshold the loop must reinit ONCE (folded seed,
+    sidecar written, different trajectory) and then train the fresh
+    attempt to completion — the detector is bounded by
+    ``basin_max_restarts``."""
+    import numpy as np
+
+    cfg = tiny_config(n_iters=6, log_every=2, fig_every=100, save_every=100,
+                      eval_batches=1, basin_detect_step=2,
+                      basin_accuracy_threshold=1.1, basin_max_restarts=1)
+    workdir = str(tmp_path / "run")
+    state = train(cfg, workdir=workdir, use_tensorboard=False,
+                  save_checkpoints=False)
+    assert int(state.step) == 6
+
+    side = json.load(open(os.path.join(workdir, "restarts.json")))
+    assert side["attempt"] == 1
+    assert side["trigger_step"] == 2
+    assert 0.0 <= side["trigger_tv"] <= 1.0
+
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    basin = [r for r in rows if r["split"] == "basin"]
+    # attempt 0 fires the detector; attempt 1 logs the statistic at its
+    # own detect step but cannot restart (max_restarts reached)
+    assert [r["attempt"] for r in basin] == [0.0, 1.0]
+    # both attempts logged a step-2 train row; the reinit must have
+    # changed the seed, hence the trajectory
+    step2 = [r["elbo"] for r in rows
+             if r["split"] == "train" and r["step"] == 2]
+    assert len(step2) == 2 and step2[0] != step2[1]
+    # the finished attempt covers the full budget past the detect step
+    assert any(r["step"] == 6 for r in rows if r["split"] == "train")
+    assert all(np.isfinite(r["elbo"]) for r in rows if "elbo" in r)
+
+
+def test_basin_detector_logs_but_keeps_good_run(tmp_path):
+    """A run above the accuracy gate logs the basin statistic and does
+    NOT restart."""
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=100, save_every=100,
+                      eval_batches=1, basin_detect_step=2,
+                      basin_accuracy_threshold=-1.0, basin_max_restarts=3)
+    workdir = str(tmp_path / "run")
+    state = train(cfg, workdir=workdir, use_tensorboard=False,
+                  save_checkpoints=False)
+    assert int(state.step) == 4
+    assert not os.path.exists(os.path.join(workdir, "restarts.json"))
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    basin = [r for r in rows if r["split"] == "basin"]
+    assert len(basin) == 1 and basin[0]["attempt"] == 0.0
+    # no duplicated train rows: exactly one attempt ran
+    step2 = [r for r in rows if r["split"] == "train" and r["step"] == 2]
+    assert len(step2) == 1
+
+
+def test_basin_detect_requires_log_alignment(tmp_path):
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=100, save_every=100,
+                      eval_batches=1, basin_detect_step=3)
+    with pytest.raises(ValueError, match="basin_detect_step"):
+        train(cfg, workdir=str(tmp_path / "bad"),
+              use_tensorboard=False, save_checkpoints=False)
+
+
 def test_two_phase_cap_requires_scan_alignment(tmp_path):
     """A scan chunk cannot switch programs mid-flight: misaligned
     ``max_scale_from_step`` is rejected up front."""

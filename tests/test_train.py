@@ -190,6 +190,21 @@ def test_remat_step_matches_plain(setup, bank):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
 
+    # the save_st policy (backward reuses the saved ST outputs instead of
+    # re-running them) is equally numerics-neutral
+    cfg_p = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True,
+                                       remat_policy="save_st"))
+    model_p = AIRModel(cfg_p.model)
+    step_p = make_train_step(cfg_p, model_p, digit_bank=bank, donate=False)
+    s_pol, m_pol = step_p(state)
+    assert float(m_plain["elbo"]) == pytest.approx(
+        float(m_pol["elbo"]), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(s_plain.params),
+                    jax.tree.leaves(s_pol.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
 
 def test_loss_decreases_over_short_run(bank):
     """Golden smoke: tiny model on tiny canvases, ELBO improves."""
@@ -528,3 +543,34 @@ def test_no_baseline_ablation(bank):
     new_state, metrics = step(state)
     assert np.isfinite(float(metrics["elbo"]))
     assert float(metrics["baseline_mse"]) == 0.0
+
+
+def test_iwae_objective_step_and_scan(bank):
+    """objective="iwae" (VIMCO-trained k-particle bound) runs as a single
+    jitted step AND under the scan driver, updates params, and reports a
+    finite bound at or above its own mean log weight (Jensen)."""
+    from attend_infer_repeat_tpu.train.step import make_scan_train_step
+
+    cfg = tiny_config(objective="iwae", iwae_particles=3,
+                      use_baseline=False, scan_steps=2)
+    model = AIRModel(cfg.model, use_baseline=False)
+    synth = make_synth_fn(cfg.data, bank)
+    imgs, _ = synth(jax.random.key(0), cfg.train.batch_size)
+    state = create_train_state(cfg, model, imgs)
+
+    step = make_train_step(cfg, model, digit_bank=bank, donate=False)
+    new_state, metrics = step(state)
+    assert np.isfinite(float(metrics["iwae_bound"]))
+    assert float(metrics["iwae_bound"]) >= float(metrics["log_w_mean"]) - 1e-5
+    assert 1.0 <= float(metrics["ess"]) <= 3.0 + 1e-6
+    # params actually moved
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(state.params),
+                        jax.tree.leaves(new_state.params)))
+    assert moved
+
+    scan = make_scan_train_step(cfg, model, bank, 2, donate=False)
+    s2, chunk = scan(state)
+    assert int(s2.step) == 2
+    assert np.all(np.isfinite(np.asarray(chunk["iwae_bound"])))
