@@ -603,10 +603,18 @@ PRESETS = {
     # 4b. NVIL-baseline ablation (the other half of BASELINE config 4):
     # same recipe WITHOUT the learned baseline — score-function gradients
     # centered only by stop-grad of the signal.  This preset's collapse
-    # IS the finding (runs/iwae_r2: 0.77 count accuracy at 59k steps,
-    # then all-steps-on and accuracy 0 by 120k — the input-dependent
-    # baseline's variance reduction is what keeps late annealed-prior
-    # training stable).  An ablation artifact by design, not a trainer.
+    # IS the finding (runs/no_nvil_r2: peaks 0.34 at 2.5k, collapses to
+    # all-steps-on right as the count-prior anneal starts, held-out 0.0
+    # through 120k — the input-dependent baseline's variance reduction is
+    # what lets REINFORCE track the annealing prior at all).  An ablation
+    # artifact by design, not a trainer.
+    # OPERATING-POINT EXCEPTION (deliberate, documented per VERDICT r3
+    # weak #7): this preset stays f32 / unscanned / no-remat — the one
+    # bf16-era preset on the old point — so its collapse-timing claims
+    # (collapse onset locked to anneal_start) remain directly comparable
+    # to the committed runs/no_nvil_r2 trajectory; flipping the trainer
+    # under an ablation artifact would force re-measuring the finding
+    # for zero capability gain.
     "no_nvil": _preset(
         "no_nvil",
         model=ModelConfig(explore_eps=0.05, output_std=0.15,

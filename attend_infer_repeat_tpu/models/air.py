@@ -94,13 +94,13 @@ class AIRModel(nn.Module):
         # its glimpse and accumulates the canvas in the carry (cell.py).
         carry0 = initial_carry(cfg, x)
         step_keys = jax.random.split(key, t_steps)
-        carry_f, ys = self.cell(carry0, step_keys)
+        carry_f, ys = self.cell(carry0, x, step_keys)
         # time-major (T, B, ...) → batch-major (B, T, ...)
         steps: AIRStepOutput = jax.tree.map(
             lambda a: jnp.swapaxes(a, 0, 1), ys)
         glimpses = steps.glimpse                              # (B, T, gh, gw)
         pres = steps.pres                                     # (B, T)
-        canvas = carry_f[1] * cfg.output_multiplier           # (B, H, W)
+        canvas = carry_f[0] * cfg.output_multiplier           # (B, H, W)
 
         # --- likelihood: fixed-σ Gaussian (reference model.py) ------------
         log_lik = jnp.sum(

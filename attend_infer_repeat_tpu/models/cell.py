@@ -57,8 +57,8 @@ class AIRStepOutput:
     glimpse: jax.Array       # (B, gh, gw) decoded appearance of this step
 
 
-Carry = Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array],
-              jax.Array, jax.Array, jax.Array]  # img, canvas, lstm, what, where, pres
+Carry = Tuple[jax.Array, Tuple[jax.Array, jax.Array],
+              jax.Array, jax.Array, jax.Array]  # canvas, lstm, what, where, pres
 
 
 class AIRCell(nn.Module):
@@ -73,8 +73,15 @@ class AIRCell(nn.Module):
     decoder: Any = None
 
     @nn.compact
-    def __call__(self, carry: Carry, key: jax.Array):
-        img, canvas, lstm_state, z_what, z_where, z_pres = carry
+    def __call__(self, carry: Carry, img: jax.Array, key: jax.Array):
+        # ``img`` arrives as an ``nn.broadcast`` scan input, NOT in the
+        # carry: carried values are saved per step for the backward pass
+        # (under remat: as checkpoint-boundary residuals), so an
+        # invariant image in the carry costs a (T, B, H, W) save+restore
+        # of pure copies — a top row of the measured per-op byte map
+        # (runs/byte_map_r4.log).  A broadcast input is one buffer,
+        # aliased by every step.
+        canvas, lstm_state, z_what, z_where, z_pres = carry
         cfg = self.cfg
         batch = img.shape[0]
         k_where, k_what, k_pres = jax.random.split(key, 3)
@@ -157,16 +164,19 @@ class AIRCell(nn.Module):
             what_loc=what_loc, what_scale=what_scale, z_what=z_what,
             pres_prob=p_eff[..., 0], pres=z_pres[..., 0],
             pres_prev=pres_prev[..., 0], glimpse=glimpse_out)
-        new_carry = (img, canvas, lstm_state, z_what, z_where, z_pres)
+        new_carry = (canvas, lstm_state, z_what, z_where, z_pres)
         return new_carry, out
 
 
 def initial_carry(cfg: ModelConfig, img: jax.Array) -> Carry:
-    """Zero-initialized scan carry; presence starts at 1 (chain alive)."""
+    """Zero-initialized scan carry; presence starts at 1 (chain alive).
+
+    The image itself is NOT carried — it feeds the scan as an
+    ``nn.broadcast`` input (see ``AIRCell.__call__``)."""
     batch = img.shape[0]
     zeros = lambda d: jnp.zeros((batch, d), jnp.float32)
     lstm_state = (zeros(cfg.rnn_hidden), zeros(cfg.rnn_hidden))
-    return (img, jnp.zeros_like(img), lstm_state, zeros(cfg.n_what),
+    return (jnp.zeros_like(img), lstm_state, zeros(cfg.n_what),
             zeros(4), jnp.ones((batch, 1), jnp.float32))
 
 
@@ -198,7 +208,7 @@ def make_scan_cell(cfg: ModelConfig, decoder: Any = None) -> Any:
         cell_cls,
         variable_broadcast="params",
         split_rngs={"params": False},
-        in_axes=0,
+        in_axes=(nn.broadcast, 0),   # (img, per-step keys)
         out_axes=0,
         length=cfg.max_steps,
     )(cfg, decoder)

@@ -212,6 +212,56 @@ class StepsPredictor(nn.Module):
         return p  # (..., 1)
 
 
+class _VirtualConcatDense(nn.Module):
+    """``nn.Dense`` over ``concat([a broadcast over T, b], -1)`` WITHOUT
+    materializing the broadcast+concat.
+
+    ``concat @ K + bias ≡ a @ K[:Da] + b @ K[Da:] + bias`` — the ``a``
+    matmul runs ONCE per batch and is broadcast-added over the step axis,
+    so the (B, T, Da+Db) staging buffer and the T× re-read of ``a``
+    disappear (the ``bf16[1024,3,2565]`` concat/copy/slice chain was a
+    top HBM-traffic row of the measured byte map, runs/byte_map_r4.log).
+    Parameter names, shapes, and init paths match the plain Dense over
+    the real concat, so existing checkpoints restore unchanged.
+    """
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, a, b):
+        da = a.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (da + b.shape[-1], self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        dt = self.dtype
+        ha = a.astype(dt) @ kernel[:da].astype(dt)          # (B, f) once
+        hb = b.astype(dt) @ kernel[da:].astype(dt)          # (B, T, f)
+        return ha[..., None, :] + hb + bias.astype(dt)
+
+
+class _SplitInputMLP(nn.Module):
+    """``MLP(hidden, out)`` twin whose first layer is a
+    ``_VirtualConcatDense``; layer names continue ``Dense_1``.. so the
+    parameter tree is structurally identical to the concat MLP."""
+
+    hidden: Sequence[int]
+    out: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, a, b):
+        x = nn.elu(_VirtualConcatDense(self.hidden[0], dtype=self.dtype,
+                                       name="Dense_0")(a, b))
+        for i, width in enumerate(self.hidden[1:], start=1):
+            x = nn.elu(nn.Dense(width, dtype=self.dtype,
+                                name=f"Dense_{i}")(x))
+        x = nn.Dense(self.out, dtype=self.dtype,
+                     name=f"Dense_{len(self.hidden)}")(x)
+        return x.astype(jnp.float32)
+
+
 class BaselineMLP(nn.Module):
     """NVIL input-dependent baseline (Mnih & Gregor 2014; reference
     ``BaselineMLP`` — SURVEY §1.3).
@@ -220,17 +270,18 @@ class BaselineMLP(nn.Module):
     stop-gradiented per-step inference features.  Lives in its own
     top-level parameter subtree (``baseline``) so the optimizer can train
     it with a separate learning rate and exclude it from the model
-    gradient, reproducing the reference's two-optimizer split.
+    gradient, reproducing the reference's two-optimizer split.  The image
+    enters through a once-per-batch split first layer (see
+    ``_VirtualConcatDense``) instead of a per-step broadcast concat —
+    same function, T× less image HBM traffic.
     """
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, img_flat, step_features):
-        # img_flat (B, H*W); step_features (B, T, F) — broadcast image over steps.
-        t = step_features.shape[-2]
-        img_b = jnp.broadcast_to(img_flat[..., None, :],
-                                 img_flat.shape[:-1] + (t, img_flat.shape[-1]))
-        x = jnp.concatenate([img_b, step_features], axis=-1)
-        b = MLP(self.cfg.baseline_hidden, out=1, dtype=_dtype(self.cfg))(x)
+        # img_flat (B, H*W); step_features (B, T, F)
+        b = _SplitInputMLP(self.cfg.baseline_hidden, out=1,
+                           dtype=_dtype(self.cfg),
+                           name="MLP_0")(img_flat, step_features)
         return b[..., 0]  # (B, T)
