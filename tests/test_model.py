@@ -308,3 +308,48 @@ class TestDecoderDtypeOverride:
         cfg16 = dataclasses.replace(cfg, decoder_dtype=None)
         AIRModel(cfg16).init(jax.random.key(0), imgs, jax.random.key(1), 0.5)
         assert seen and all(d == "bfloat16" for d in seen), seen
+
+
+class TestBaselineSplitLayer:
+    """The split-input first layer must BE the dense-over-concat it
+    replaced (byte-diet r4): concat([img broadcast over T, feats]) @ K
+    == img @ K[:D] + feats @ K[D:], with the identical parameter tree."""
+
+    def test_matches_concat_mlp(self):
+        from attend_infer_repeat_tpu.models.modules import (
+            BaselineMLP, MLP, _dtype)
+        cfg = ModelConfig(baseline_hidden=(32, 16))
+        B, T = 4, 3
+        hw = cfg.img_size[0] * cfg.img_size[1]
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+        img = jax.random.uniform(k1, (B, hw))
+        feats = jax.random.normal(k2, (B, T, 7))
+        bl = BaselineMLP(cfg)
+        params = bl.init(k3, img, feats)
+        out = bl.apply(params, img, feats)
+        assert out.shape == (B, T)
+
+        # oracle: plain MLP over the materialized broadcast+concat,
+        # applied with the SAME parameters (tree must line up exactly)
+        img_b = jnp.broadcast_to(img[:, None, :], (B, T, hw))
+        x = jnp.concatenate([img_b, feats], axis=-1)
+        oracle = MLP(cfg.baseline_hidden, out=1, dtype=_dtype(cfg))
+        ref = oracle.apply({"params": params["params"]["MLP_0"]}, x)[..., 0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_param_tree_unchanged(self):
+        # the r3-era tree had MLP_0/Dense_{0,1,2} with the concat fan-in;
+        # checkpoints must keep restoring (verified on TPU against
+        # runs/cfv5_seed0; this pins the structure in CI)
+        from attend_infer_repeat_tpu.models.modules import BaselineMLP
+        cfg = ModelConfig(baseline_hidden=(24, 24))
+        hw = cfg.img_size[0] * cfg.img_size[1]
+        img = jnp.zeros((2, hw))
+        feats = jnp.zeros((2, 3, 5))
+        params = BaselineMLP(cfg).init(jax.random.PRNGKey(0), img, feats)
+        mlp = params["params"]["MLP_0"]
+        assert set(mlp) == {"Dense_0", "Dense_1", "Dense_2"}
+        assert mlp["Dense_0"]["kernel"].shape == (hw + 5, 24)
+        assert mlp["Dense_1"]["kernel"].shape == (24, 24)
+        assert mlp["Dense_2"]["kernel"].shape == (24, 1)
