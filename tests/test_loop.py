@@ -271,3 +271,45 @@ def test_two_phase_cap_requires_scan_alignment(tmp_path):
     with pytest.raises(ValueError, match="max_scale_from_step"):
         train(cfg, workdir=str(tmp_path / "bad"),
               use_tensorboard=False, save_checkpoints=False)
+
+
+def test_basin_restart_sidecar_resumes_as_itself(tmp_path):
+    """A preempted attempt must resume AS ITSELF: if the run dies after a
+    basin restart but before the new attempt's first checkpoint save, the
+    ``restarts.json`` sidecar is the only record — on resume the loop must
+    rebuild attempt 1's folded seed, not silently repeat attempt 0."""
+    import numpy as np
+
+    cfg = tiny_config(n_iters=4, log_every=2, fig_every=100, save_every=100,
+                      eval_batches=1, basin_detect_step=2,
+                      basin_accuracy_threshold=1.1, basin_max_restarts=1)
+    workdir = str(tmp_path / "run")
+    # save_checkpoints=False models "died before the first save": only
+    # the sidecar survives
+    train(cfg, workdir=workdir, use_tensorboard=False,
+          save_checkpoints=False)
+    side = json.load(open(os.path.join(workdir, "restarts.json")))
+    assert side["attempt"] == 1
+    rows = [json.loads(l) for l in
+            open(os.path.join(workdir, "metrics.jsonl"))]
+    step2 = [r["elbo"] for r in rows
+             if r["split"] == "train" and r["step"] == 2]
+    assert len(step2) == 2          # attempt 0, then restarted attempt 1
+    attempt0_elbo, attempt1_elbo = step2
+
+    # resume: no checkpoint exists, so the state is rebuilt from scratch
+    # — the sidecar must select attempt 1's seed (bitwise: its step-2 row
+    # reproduces attempt 1's trajectory, not attempt 0's)
+    train(cfg, workdir=workdir, use_tensorboard=False,
+          save_checkpoints=False, resume=True)
+    rows2 = [json.loads(l) for l in
+             open(os.path.join(workdir, "metrics.jsonl"))]
+    step2_after = [r["elbo"] for r in rows2
+                   if r["split"] == "train" and r["step"] == 2]
+    assert len(step2_after) == 3
+    assert step2_after[2] == attempt1_elbo
+    assert step2_after[2] != attempt0_elbo
+    # at its detect step the resumed attempt logs the statistic but is
+    # out of restart budget — the attempt counter must not grow
+    side2 = json.load(open(os.path.join(workdir, "restarts.json")))
+    assert side2["attempt"] == 1
