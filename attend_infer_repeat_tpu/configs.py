@@ -394,7 +394,16 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45,
                           dtype="bfloat16", decoder_dtype="float32",
-                          remat=True),
+                          remat=True,
+                          # save_st (r4, campaign r30): exempt the ST
+                          # gather/paste outputs from remat — the
+                          # backward reuses them instead of recomputing
+                          # the kernels.  Numerics-neutral (pinned by
+                          # tests/test_train.py) and measured +5.2% on
+                          # the headline step: 506.4k vs 481.3k img/s
+                          # (runs/bench_xla_savest_r28.log vs
+                          # runs/bench_headline_r28.log).
+                          remat_policy="save_st"),
         # cosine lr decay to 0.1× over the run: settles late-training
         # REINFORCE noise (robustness tail; the merge fix is max_scale).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
@@ -420,7 +429,16 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.55,
                           dtype="bfloat16", decoder_dtype="float32",
-                          remat=True),
+                          remat=True,
+                          # save_st (r4, campaign r30): exempt the ST
+                          # gather/paste outputs from remat — the
+                          # backward reuses them instead of recomputing
+                          # the kernels.  Numerics-neutral (pinned by
+                          # tests/test_train.py) and measured +5.2% on
+                          # the headline step: 506.4k vs 481.3k img/s
+                          # (runs/bench_xla_savest_r28.log vs
+                          # runs/bench_headline_r28.log).
+                          remat_policy="save_st"),
         data=DataConfig(digit_size=(20, 20), placement="uniform"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
@@ -523,7 +541,16 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.62,
                           dtype="bfloat16", decoder_dtype="float32",
-                          remat=True),
+                          remat=True,
+                          # save_st (r4, campaign r30): exempt the ST
+                          # gather/paste outputs from remat — the
+                          # backward reuses them instead of recomputing
+                          # the kernels.  Numerics-neutral (pinned by
+                          # tests/test_train.py) and measured +5.2% on
+                          # the headline step: 506.4k vs 481.3k img/s
+                          # (runs/bench_xla_savest_r28.log vs
+                          # runs/bench_headline_r28.log).
+                          remat_policy="save_st"),
         data=DataConfig(digit_size=(28, 28), scale_range=(0.7, 1.0),
                         placement="uniform"),
         # lr decays to 1e-5 (the reference's own lr) by 60k: the first
@@ -562,7 +589,16 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45,
                           dtype="bfloat16", decoder_dtype="float32",
-                          remat=True),
+                          remat=True,
+                          # save_st (r4, campaign r30): exempt the ST
+                          # gather/paste outputs from remat — the
+                          # backward reuses them instead of recomputing
+                          # the kernels.  Numerics-neutral (pinned by
+                          # tests/test_train.py) and measured +5.2% on
+                          # the headline step: 506.4k vs 481.3k img/s
+                          # (runs/bench_xla_savest_r28.log vs
+                          # runs/bench_headline_r28.log).
+                          remat_policy="save_st"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
@@ -587,7 +623,16 @@ PRESETS = {
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
                           isotropic_scale=True, max_scale=0.45,
                           dtype="bfloat16", decoder_dtype="float32",
-                          remat=True),
+                          remat=True,
+                          # save_st (r4, campaign r30): exempt the ST
+                          # gather/paste outputs from remat — the
+                          # backward reuses them instead of recomputing
+                          # the kernels.  Numerics-neutral (pinned by
+                          # tests/test_train.py) and measured +5.2% on
+                          # the headline step: 506.4k vs 481.3k img/s
+                          # (runs/bench_xla_savest_r28.log vs
+                          # runs/bench_headline_r28.log).
+                          remat_policy="save_st"),
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
