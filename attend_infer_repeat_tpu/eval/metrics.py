@@ -72,6 +72,9 @@ class MetricsLogger:
                 "count_accuracy_mode", "expected_steps")
         brief = " ".join(f"{k}={metrics[k]:.4g}" for k in keys
                          if k in metrics)
+        if not brief:  # e.g. the basin-gate record: print everything
+            brief = " ".join(f"{k}={float(v):.4g}"
+                             for k, v in metrics.items())
         print(f"[{prefix} {step}] {brief}", flush=True)
 
     def close(self):
