@@ -380,8 +380,12 @@ PRESETS = {
         # decomposition, BASELINE.md): bf16 compute (+29%), remat (+10%:
         # the step is HBM-bound at batch 1024, so recomputing scan
         # activations beats storing them), and the K-step lax.scan
-        # dispatch amortizer (scan_steps=20: ≥16 captures the full
-        # dispatch win and divides the 500-step log interval).
+        # dispatch amortizer (scan_steps=50: the r4 retune sweep at HEAD
+        # measured 10/16/20/32/50 → 496.3/505.8/506.4/512.7/516.5k img/s
+        # — monotone to 50, +2.0% over the r3 choice of 20; scan_steps is
+        # bit-exact vs sequential per tests/test_train.py, so the flip
+        # preserves every committed trajectory, and 50 divides the
+        # 500-step log interval).
         # decoder_dtype='float32' is load-bearing for QUALITY, not a perf
         # trade: all-bf16 basin selection is seed-fragile (seeds 0/2/3
         # land in over-split or collapsed local optima, 0.75-0.94 count
@@ -406,13 +410,24 @@ PRESETS = {
                           remat_policy="save_st"),
         # cosine lr decay to 0.1× over the run: settles late-training
         # REINFORCE noise (robustness tail; the merge fix is max_scale).
+        # basin_* [r4, campaign r33]: the shipped operating point is NOT
+        # immune to the frozen presence basin — seed2 at the preset
+        # verbatim froze at 0.7478 held-out from step 5k through 150k
+        # (runs/cfv5_seed2; seeds 0/1 read 1.000 from 5k).  The stuck
+        # basin is cleanly separable at 10k (0.748 vs 1.000 — every good
+        # 50×50 run at HEAD reads ≥0.99 at 10k), so the crowded preset's
+        # detect-and-restart policy ships here too; each restart costs
+        # only the 10k-step probe (~7% of a run).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20),
+                          scan_steps=50,
+                          basin_detect_step=10_000,
+                          basin_accuracy_threshold=0.95,
+                          basin_max_restarts=5),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 2c. Reference-style task difficulty: uniform random placement with
@@ -440,13 +455,19 @@ PRESETS = {
                           # runs/bench_headline_r28.log).
                           remat_policy="save_st"),
         data=DataConfig(digit_size=(20, 20), placement="uniform"),
+        # scan_steps=50 + basin_* ride the canonical_fast r4 retune
+        # (bit-exact dispatch amortizer; detect-and-restart — good runs
+        # read ≥0.99 at 10k on every 50×50 task, stuck basins 0.74-0.84).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20),
+                          scan_steps=50,
+                          basin_detect_step=10_000,
+                          basin_accuracy_threshold=0.95,
+                          basin_max_restarts=5),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
     # 3. Crowded: 0–5 digits on 100×100, 5 steps.  Same training recipe
@@ -559,13 +580,19 @@ PRESETS = {
         # and 70k, runs/u28_seed0_decay150k) — the forced-overlap task
         # produces much larger REINFORCE advantages than the separable
         # tasks, and the post-anneal phase cannot run at 1e-4.
+        # scan_steps=50 + basin_* ride the canonical_fast r4 retune (see
+        # that preset; u28 good runs read ~0.99 at 10k with n_what=20 —
+        # the old n_what=50 warmup decline to ~0.94 is gone).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=60_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20),
+                          scan_steps=50,
+                          basin_detect_step=10_000,
+                          basin_accuracy_threshold=0.95,
+                          basin_max_restarts=5),
         # Final count-prior dose measured on this task (60k probes,
         # runs/u28_probe_*_eval.log, 8,192 held-out images): 1e-5 →
         # 0.9476 (150k), 1e-3 → 0.9515, 1e-2 → 0.9496, 0.3 → 0.9502.
@@ -599,13 +626,18 @@ PRESETS = {
                           # (runs/bench_xla_savest_r28.log vs
                           # runs/bench_headline_r28.log).
                           remat_policy="save_st"),
+        # scan_steps=50 + basin_* ride the canonical_fast r4 retune
+        # (same task/recipe; good runs read 1.000 at 10k).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20,
+                          scan_steps=50,
+                          basin_detect_step=10_000,
+                          basin_accuracy_threshold=0.95,
+                          basin_max_restarts=5,
                           iwae_eval_particles=5),
         prior=PriorAnnealConfig(anneal_start=2_000, anneal_steps=40_000),
     ),
@@ -633,13 +665,18 @@ PRESETS = {
                           # (runs/bench_xla_savest_r28.log vs
                           # runs/bench_headline_r28.log).
                           remat_policy="save_st"),
+        # scan_steps=50 + basin_* ride the canonical_fast r4 retune
+        # (same task; the VIMCO run read 1.000 at 10k).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=150_000,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20,
+                          scan_steps=50,
+                          basin_detect_step=10_000,
+                          basin_accuracy_threshold=0.95,
+                          basin_max_restarts=5,
                           objective="iwae", iwae_particles=5,
                           use_baseline=False,
                           iwae_eval_particles=5),
