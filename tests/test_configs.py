@@ -91,6 +91,21 @@ def test_tpu_presets_ship_the_benched_operating_point():
         # (tests/test_train.py) and +5.2% on the headline step
         # (506.4k vs 481.3k img/s, runs/bench_xla_savest_r28.log)
         assert cfg.model.remat_policy == "save_st", name
+        # scan_steps=50 (r4 retune, campaign r32): monotone sweep
+        # 10/16/20/32/50 → 496.3/…/516.5k img/s; bit-exact vs
+        # sequential, so quality evidence is revision-stable under it.
+        assert cfg.train.scan_steps == 50, name
+    # The frozen presence basin is NOT crowded-specific (canonical
+    # seed2 froze at 0.7515 at the preset verbatim, runs/cfv5_seed2):
+    # every 50×50 training preset plus crowded ships the early-basin
+    # detect-and-restart gate.
+    for name in ("canonical_fast", "canonical_uniform",
+                 "canonical_uniform28", "iwae", "iwae_trained",
+                 "crowded"):
+        cfg = get_config(name)
+        assert cfg.train.basin_detect_step == 10_000, name
+        assert cfg.train.basin_accuracy_threshold == 0.95, name
+        assert cfg.train.basin_max_restarts >= 1, name
     for name in PRESETS:
         cfg = get_config(name)
         k = cfg.train.scan_steps
