@@ -504,16 +504,18 @@ PRESETS = {
                           isotropic_scale=True,
                           max_scale=0.30, max_scale_from_step=30_000),
         data=DataConfig(canvas_size=(100, 100), min_digits=0, max_digits=5),
-        # scan_steps=20 is proven bit-exact by
+        # scan_steps is proven bit-exact by
         # tests/test_train.py::test_scan_train_step_matches_sequential,
-        # so it ships with no quality revalidation (VERDICT r3 next #3)
-        # — ~15-25% wall-clock on every crowded campaign.
+        # so it ships with no quality revalidation (VERDICT r3 next #3).
+        # 50 [r4 retune, campaign r35 A/B]: 143.9k vs 141.5k img/s at
+        # 20 (+1.7%) — the dispatch amortizer keeps paying even on the
+        # heavier 100×100 step.
         train=TrainConfig(batch_size=512, learning_rate=1e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=20,
+                          scan_steps=50,
                           basin_detect_step=10_000,
                           basin_accuracy_threshold=0.95,
                           basin_max_restarts=5),

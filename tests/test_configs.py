@@ -95,6 +95,10 @@ def test_tpu_presets_ship_the_benched_operating_point():
         # 10/16/20/32/50 → 496.3/…/516.5k img/s; bit-exact vs
         # sequential, so quality evidence is revision-stable under it.
         assert cfg.train.scan_steps == 50, name
+    # crowded rides the same retune (campaign r35 A/B: 143.9k vs
+    # 141.5k at scan20) — f32 by gate, but the scan driver is dtype-
+    # independent.
+    assert get_config("crowded").train.scan_steps == 50
     # The frozen presence basin is NOT crowded-specific (canonical
     # seed2 froze at 0.7515 at the preset verbatim, runs/cfv5_seed2):
     # every 50×50 training preset plus crowded ships the early-basin
