@@ -383,8 +383,10 @@ PRESETS = {
         # dispatch amortizer (scan_steps=50: the r4 retune sweep at HEAD
         # measured 10/16/20/32/50 → 496.3/505.8/506.4/512.7/516.5k img/s
         # — monotone to 50, +2.0% over the r3 choice of 20; scan_steps is
-        # bit-exact vs sequential per tests/test_train.py, so the flip
-        # preserves every committed trajectory, and 50 divides the
+        # numerically equivalent (rtol 1e-6) vs sequential per
+        # tests/test_train.py at K=3 — the real trajectory evidence for
+        # the flip is the r36-r39 HEAD-preset quality refreshes, which
+        # re-trained every headline row at scan50 — and 50 divides the
         # 500-step log interval).
         # decoder_dtype='float32' is load-bearing for QUALITY, not a perf
         # trade: all-bf16 basin selection is seed-fragile (seeds 0/2/3

@@ -75,7 +75,7 @@ def test_tpu_presets_ship_the_benched_operating_point():
     numerics-neutral scan driver.
     """
     for name in ("canonical_fast", "canonical_uniform",
-                 "canonical_uniform28", "iwae"):
+                 "canonical_uniform28", "iwae", "iwae_trained"):
         cfg = get_config(name)
         assert cfg.model.dtype == "bfloat16", name
         assert cfg.model.remat, name
