@@ -100,7 +100,28 @@ class AIRModel(nn.Module):
             lambda a: jnp.swapaxes(a, 0, 1), ys)
         glimpses = steps.glimpse                              # (B, T, gh, gw)
         pres = steps.pres                                     # (B, T)
-        canvas = carry_f[0] * cfg.output_multiplier           # (B, H, W)
+        if cfg.canvas_rebuild:
+            # Canvas-carry byte experiment (ModelConfig.canvas_rebuild):
+            # the carried canvas is conditioning-only; rebuild the exact
+            # f32 reconstruction HERE, step-parallel, from the saved
+            # glimpses — the ``generate`` path's math.  The likelihood
+            # cotangent reaches the decoder through these pastes, so the
+            # in-scan paste VJP (and its save_st residuals) are dead.
+            from attend_infer_repeat_tpu.models.modules import st_where
+            gh, gw = cfg.glimpse_size
+            pastes = st_paste(
+                glimpses.reshape(batch * t_steps, gh, gw),
+                st_where(cfg, steps.z_where).reshape(batch * t_steps, 4),
+                cfg.img_size,
+                method=cfg.st_method, block_b=cfg.st_block_b,
+                compute_dtype=cfg.decoder_dtype or cfg.dtype,
+            ).reshape(batch, t_steps, *cfg.img_size)
+            canvas = jnp.sum(
+                pastes * pres[..., None, None],
+                axis=1) * cfg.output_multiplier               # (B, H, W)
+        else:
+            canvas = carry_f[0].astype(jnp.float32) \
+                * cfg.output_multiplier                       # (B, H, W)
 
         # --- likelihood: fixed-σ Gaussian (reference model.py) ------------
         log_lik = jnp.sum(

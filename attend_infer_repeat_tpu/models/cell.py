@@ -97,7 +97,8 @@ class AIRCell(nn.Module):
         # re-encodes the RAW image every step (cell.py recall); this is a
         # deliberate inference-network improvement, config-gated.
         if cfg.residual_encoding:
-            enc_in = img - jax.lax.stop_gradient(canvas)
+            enc_in = img - jax.lax.stop_gradient(
+                canvas.astype(img.dtype))
         else:
             enc_in = img
         embed = Encoder(cfg)(enc_in)
@@ -157,7 +158,15 @@ class AIRCell(nn.Module):
                      method=cfg.st_method, block_b=cfg.st_block_b,
                      compute_dtype=cfg.decoder_dtype or cfg.dtype),
             "st_paste")
-        canvas = canvas + z_pres[..., None] * paste
+        # accumulate in f32, store at the configured carry dtype (the
+        # canvas-carry byte experiment — see ModelConfig.canvas_rebuild /
+        # canvas_carry_dtype).  With canvas_rebuild the carried canvas is
+        # conditioning-only (the likelihood canvas is rebuilt outside the
+        # scan in air.py) and this paste's VJP is dead code.
+        acc = canvas.astype(jnp.float32) + z_pres[..., None] * paste
+        if cfg.canvas_rebuild:
+            acc = jax.lax.stop_gradient(acc)
+        canvas = acc.astype(cfg.canvas_carry_dtype or jnp.float32)
 
         out = AIRStepOutput(
             where_loc=where_loc, where_scale=where_scale, z_where=z_where,
@@ -176,7 +185,8 @@ def initial_carry(cfg: ModelConfig, img: jax.Array) -> Carry:
     batch = img.shape[0]
     zeros = lambda d: jnp.zeros((batch, d), jnp.float32)
     lstm_state = (zeros(cfg.rnn_hidden), zeros(cfg.rnn_hidden))
-    return (jnp.zeros_like(img), lstm_state, zeros(cfg.n_what),
+    canvas0 = jnp.zeros(img.shape, cfg.canvas_carry_dtype or jnp.float32)
+    return (canvas0, lstm_state, zeros(cfg.n_what),
             zeros(4), jnp.ones((batch, 1), jnp.float32))
 
 

@@ -80,7 +80,8 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
                            st_block_b: int | None = None,
                            with_cost: bool = False,
                            resident_data: int = 0,
-                           config_name: str = "canonical"):
+                           config_name: str = "canonical",
+                           model_set=None):
     """Throughput of a preset's train step, optionally at one override
     operating point.
 
@@ -115,6 +116,21 @@ def measure_images_per_sec(n_warmup: int = 3, n_timed: int = 30,
             st_block_b=st_block_b or config.model.st_block_b)
     if repl:
         config = dataclasses.replace(config, **repl)
+    if model_set:
+        # generic ModelConfig overrides, run_variant.py-style
+        # ("key=value" parsed with ast.literal_eval) — lets a probe
+        # bench an experimental model knob (e.g. canvas_rebuild) without
+        # growing a dedicated flag per experiment
+        import ast
+        kw = {}
+        for item in model_set:
+            k, _, v = item.partition("=")
+            k = k.strip()
+            if k not in {f.name for f in dataclasses.fields(config.model)}:
+                raise SystemExit(f"ModelConfig has no field {k!r}")
+            kw[k] = ast.literal_eval(v)
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, **kw))
     scan_steps = max(1, config.train.scan_steps)
 
     model, state, bank = _build(config)
@@ -266,6 +282,10 @@ def main():
                         "(batch × dtype × scan × remat) and report the "
                         "winner — run once per round so the headline "
                         "point cannot go stale (VERDICT r3 #9)")
+    p.add_argument("--model-set", action="append", metavar="KEY=VALUE",
+                   help="generic ModelConfig override for probe benches "
+                        "(run_variant.py syntax, ast.literal_eval'd), "
+                        "e.g. --model-set canvas_rebuild=True")
     p.add_argument("--resident-data", type=int, default=0, metavar="N",
                    help="bench the HBM-resident fixed-dataset path "
                         "(reference-pickle workflow) with an N-image "
@@ -301,7 +321,7 @@ def main():
                       or args.remat_policy is not None
                       or args.st_method is not None
                       or args.st_block_b is not None
-                      or args.resident_data)
+                      or args.resident_data or args.model_set)
     if args.sweep:
         # Full operating-point grid re-measure (VERDICT r3 #9: keep the
         # headline honest under drift — if a code change moves the
@@ -345,7 +365,7 @@ def main():
             remat_policy=args.remat_policy,
             st_method=args.st_method, st_block_b=args.st_block_b,
             with_cost=True, resident_data=args.resident_data,
-            config_name=base_name)
+            config_name=base_name, model_set=args.model_set)
         # record the point actually measured: a None flag falls back to
         # the preset's field inside measure_images_per_sec, so the
         # provenance must resolve the same way — compare against None,
@@ -367,6 +387,8 @@ def main():
                            f"/b{args.st_block_b or base.model.st_block_b}")
         if args.remat_policy:
             config_tag += f" remat_policy={args.remat_policy}"
+        if args.model_set:
+            config_tag += " " + " ".join(args.model_set)
     else:
         # HEADLINE: the shipped `canonical_fast` preset VERBATIM —
         # bf16 + scan + remat are preset fields now (VERDICT r3 #1), so

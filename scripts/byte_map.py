@@ -70,6 +70,10 @@ def main():
     p.add_argument("--min-mb", type=float, default=1.0,
                    help="only rows touching at least this many MB")
     p.add_argument("--out", default=None, help="also write JSON here")
+    p.add_argument("--model-set", action="append", metavar="KEY=VALUE",
+                   help="ModelConfig override (run_variant.py syntax) — "
+                        "map an experimental knob's byte profile, e.g. "
+                        "--model-set canvas_rebuild=True")
     args = p.parse_args()
 
     import jax
@@ -80,6 +84,15 @@ def main():
 
     enable_compilation_cache()
     config = get_config(args.config)
+    if args.model_set:
+        import ast
+        import dataclasses
+        kw = {}
+        for item in args.model_set:
+            key, _, val = item.partition("=")
+            kw[key.strip()] = ast.literal_eval(val)
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model, **kw))
     model, state, bank = bench._build(config)
     from attend_infer_repeat_tpu.train import make_train_step
     from attend_infer_repeat_tpu.train.step import make_scan_train_step

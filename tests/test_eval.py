@@ -140,6 +140,28 @@ def test_serving_infer_and_generate(setup):
     assert bool(jnp.isfinite(samples).all())
 
 
+def test_serving_infer_tiled(setup):
+    """Batch-tiled infer (the wide-batch saturation fix, VERDICT r5 #6):
+    chunks ride a lax.scan inside ONE jitted program; outputs keep the
+    full-batch layout.  Per-chunk keys differ from the full-batch draw,
+    so compare structure + the key-independent surfaces (pmf rows
+    normalized, canvas finite), and check an indivisible batch raises."""
+    cfg, model, state, synth = setup
+    imgs, _ = synth(jax.random.key(7), 12)
+    tiled = make_infer_fn(cfg, model, tile=4)
+    out = tiled(state.params, imgs, jax.random.key(8))
+    assert out["canvas"].shape == imgs.shape
+    assert out["z_where"].shape == (12, cfg.model.max_steps, 4)
+    assert bool(jnp.isfinite(out["canvas"]).all())
+    np.testing.assert_allclose(
+        np.asarray(out["num_steps_pmf"]).sum(-1), 1.0, rtol=1e-4)
+    # a batch at/below the tile takes the single-dispatch path
+    small = tiled(state.params, imgs[:4], jax.random.key(8))
+    assert small["canvas"].shape == (4,) + cfg.model.img_size
+    with pytest.raises(ValueError, match="not divisible"):
+        tiled(state.params, imgs[:10], jax.random.key(8))
+
+
 def test_generate_count_prior_knob(setup):
     """Default generation draws a uniform count prior (non-empty scenes);
     the annealed training endpoint (q≈0) must be an explicit opt-in and

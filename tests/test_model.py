@@ -94,6 +94,67 @@ class TestForward:
         assert bool(jnp.all(jnp.isfinite(img)))
 
 
+class TestCanvasRebuild:
+    """The canvas-carry byte experiment (ModelConfig.canvas_rebuild):
+    rebuilding the likelihood canvas outside the scan from the saved
+    glimpses must reproduce the carried canvas exactly (same pastes,
+    same f32 sums), and with an f32 carry the gradients must match —
+    the likelihood cotangent just takes the outside-paste route to the
+    decoder instead of the in-scan accumulate."""
+
+    def test_rebuild_matches_carry_forward_and_grad(self, setup):
+        import dataclasses
+
+        cfg, model, x, params = setup
+        cfg_rb = dataclasses.replace(cfg, canvas_rebuild=True)
+        model_rb = AIRModel(cfg_rb)
+        key = jax.random.PRNGKey(21)
+
+        out = model.apply(params, x, key, 0.5)
+        out_rb = model_rb.apply(params, x, key, 0.5)
+        np.testing.assert_allclose(np.asarray(out_rb.canvas),
+                                   np.asarray(out.canvas),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_rb.elbo),
+                                   np.asarray(out.elbo),
+                                   rtol=1e-5, atol=1e-5)
+
+        def loss(m):
+            def f(p):
+                o = m.apply(p, x, key, 0.5)
+                return -jnp.mean(o.elbo)
+            return f
+
+        g = jax.grad(loss(model))(params)
+        g_rb = jax.grad(loss(model_rb))(params)
+        # f32 reassociation only (the paste runs in a different fusion
+        # outside the scan), so compare with an absolute floor scaled to
+        # the leaf's own magnitude
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g_rb)):
+            a, b = np.asarray(a), np.asarray(b)
+            tol = 1e-3 * max(1.0, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=tol)
+
+    def test_bf16_carry_conditioning_only_perturbation(self, setup):
+        import dataclasses
+
+        cfg, model, x, params = setup
+        cfg_bf = dataclasses.replace(cfg, canvas_rebuild=True,
+                                     canvas_carry_dtype="bfloat16")
+        model_bf = AIRModel(cfg_bf)
+        key = jax.random.PRNGKey(22)
+        out = model.apply(params, x, key, 0.5)
+        out_bf = model_bf.apply(params, x, key, 0.5)
+        # the likelihood canvas is rebuilt in f32 — the bf16 carry only
+        # perturbs the encoder's conditioning input, so the
+        # reconstruction stays close (identical presence/where samples
+        # at an untrained init are not guaranteed, so compare loosely
+        # and require finiteness + matching shapes)
+        assert out_bf.canvas.dtype == out.canvas.dtype == jnp.float32
+        assert bool(jnp.all(jnp.isfinite(out_bf.elbo)))
+        assert out_bf.canvas.shape == out.canvas.shape
+
+
 class TestNoBaseline:
     def test_ablation_drops_subtree(self):
         cfg = ModelConfig(max_steps=2, rnn_hidden=16, encoder_hidden=(16,),
