@@ -608,6 +608,15 @@ PRESETS = {
         # scan_steps=50 + basin_* ride the canonical_fast r4 retune (see
         # that preset; u28 good runs read ~0.99 at 10k with n_what=20 —
         # the old n_what=50 warmup decline to ~0.94 is gone).
+        # Gate calibration on THIS task (ADVICE r4 #4, thin-record
+        # concern): measured 10k basin-gate reads at the HEAD preset —
+        # seed0 0.9921, seed1 0.9905 (runs/u28v6_seed{0,1}/metrics.jsonl
+        # "basin" rows) — comfortably above the 0.95 threshold, so a
+        # false-positive restart needs a ~4-point miss, never observed.
+        # Scope caveat: the gate catches early frozen basins only; u28's
+        # late 2->1 merge drift (0.9921@10k -> 0.9897@150k, seed0) forms
+        # after the gate and is documented in docs/API.md (basin_* scope
+        # paragraph).
         train=TrainConfig(batch_size=1024, learning_rate=1e-4,
                           lr_decay_steps=60_000,
                           baseline_learning_rate=1e-3,
