@@ -150,11 +150,25 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     restart_path = os.path.join(workdir, "restarts.json")
     attempt = 0
+    # best gate read across attempts, for keep-best-on-exhaustion (the
+    # r5 literal-regime campaign showed that when the pass threshold is
+    # rarely met — ~8% of basin draws at 0.95 in the `canonical` regime
+    # — keeping the LAST failed attempt can be much worse than the best
+    # attempt already seen: kept-last finals 0.668/0.832 vs their own
+    # attempt-0 gate reads ~0.93, runs/canonical_det_seed{3,6}).
+    basin_best = {"accuracy": -1.0, "attempt": 0}
+    _sidecar_seed = None
     if not resume and os.path.exists(restart_path):
         os.remove(restart_path)
     if resume and os.path.exists(restart_path):
         with open(restart_path) as f:
-            attempt = int(_json.load(f).get("attempt", 0))
+            _sidecar = _json.load(f)
+        attempt = int(_sidecar.get("attempt", 0))
+        basin_best = _sidecar.get("best", basin_best)
+        # the replay attempt's seed is NOT _attempt_seed(attempt) (it is
+        # the best attempt's), so resume from the stored seed when the
+        # sidecar carries one
+        _sidecar_seed = _sidecar.get("seed")
 
     def _attempt_seed(a: int) -> int:
         # a prime stride keeps folded seeds far from the sibling streams
@@ -163,8 +177,10 @@ def train(config: Config | str, workdir: str = "runs/default",
 
     # --- model + state ----------------------------------------------------
     model = AIRModel(config.model, use_baseline=tcfg.use_baseline)
-    state = create_train_state(config, model, sample_imgs,
-                               seed=_attempt_seed(attempt))
+    state = create_train_state(
+        config, model, sample_imgs,
+        seed=_attempt_seed(attempt) if _sidecar_seed is None
+        else _sidecar_seed)
     # startup banner (reference experiment_tools prints flags + param count)
     print(f"config: {config.name}  model={config.model}  "
           f"train={config.train}  prior={config.prior}  "
@@ -403,21 +419,47 @@ def train(config: Config | str, workdir: str = "runs/default",
                 logger.log(step_no, {"accuracy": acc, "tv": tv,
                                      "attempt": float(attempt)},
                            prefix="basin")
-                if (acc < tcfg.basin_accuracy_threshold
-                        and attempt < tcfg.basin_max_restarts):
-                    attempt += 1
-                    new_seed = _attempt_seed(attempt)
-                    print(f"[basin-restart] held-out mode accuracy "
-                          f"{acc:.4f} < {tcfg.basin_accuracy_threshold} "
-                          f"at step {step_no} (count-marginal TV "
-                          f"{tv:.4f}); reinit "
-                          f"{attempt}/{tcfg.basin_max_restarts} with "
-                          f"seed {new_seed}", flush=True)
+                if acc > basin_best["accuracy"]:
+                    basin_best = {"accuracy": acc, "attempt": attempt}
+                restart_now = (acc < tcfg.basin_accuracy_threshold
+                               and attempt < tcfg.basin_max_restarts)
+                # keep-best-on-exhaustion: the FINAL allowed attempt also
+                # failed the gate, and a better attempt was seen — replay
+                # that attempt's seed instead of keeping the (possibly
+                # worst) last draw.  attempt jumps past max_restarts so
+                # the gate cannot fire again on the replay.
+                replay_now = (not restart_now
+                              and acc < tcfg.basin_accuracy_threshold
+                              and attempt == tcfg.basin_max_restarts
+                              and basin_best["attempt"] != attempt
+                              and basin_best["accuracy"] > acc)
+                if restart_now or replay_now:
+                    if replay_now:
+                        attempt += 1          # == max_restarts + 1
+                        new_seed = _attempt_seed(basin_best["attempt"])
+                        print(f"[basin-restart] exhausted "
+                              f"{tcfg.basin_max_restarts} restarts (last "
+                              f"gate {acc:.4f}); replaying best attempt "
+                              f"{basin_best['attempt']} (gate "
+                              f"{basin_best['accuracy']:.4f}) with seed "
+                              f"{new_seed}", flush=True)
+                    else:
+                        attempt += 1
+                        new_seed = _attempt_seed(attempt)
+                        print(f"[basin-restart] held-out mode accuracy "
+                              f"{acc:.4f} < "
+                              f"{tcfg.basin_accuracy_threshold} "
+                              f"at step {step_no} (count-marginal TV "
+                              f"{tv:.4f}); reinit "
+                              f"{attempt}/{tcfg.basin_max_restarts} with "
+                              f"seed {new_seed}", flush=True)
                     with open(restart_path, "w") as f:
                         _json.dump({"attempt": attempt, "seed": new_seed,
                                     "trigger_step": step_no,
                                     "trigger_accuracy": acc,
-                                    "trigger_tv": tv}, f)
+                                    "trigger_tv": tv,
+                                    "best": basin_best,
+                                    "replay": replay_now}, f)
                     state = create_train_state(config, model, sample_imgs,
                                                seed=new_seed)
                     if ckpt is not None:

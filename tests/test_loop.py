@@ -212,7 +212,10 @@ def test_basin_restart_triggers_reinit_and_finishes(tmp_path):
     assert int(state.step) == 6
 
     side = json.load(open(os.path.join(workdir, "restarts.json")))
-    assert side["attempt"] == 1
+    # attempt 1 = the bounded restart; attempt 2 appears iff the
+    # exhausted run replayed the better attempt 0 (keep-best)
+    assert side["attempt"] in (1, 2)
+    assert side["replay"] == (side["attempt"] == 2)
     assert side["trigger_step"] == 2
     assert 0.0 <= side["trigger_tv"] <= 1.0
 
@@ -220,13 +223,27 @@ def test_basin_restart_triggers_reinit_and_finishes(tmp_path):
             open(os.path.join(workdir, "metrics.jsonl"))]
     basin = [r for r in rows if r["split"] == "basin"]
     # attempt 0 fires the detector; attempt 1 logs the statistic at its
-    # own detect step but cannot restart (max_restarts reached)
-    assert [r["attempt"] for r in basin] == [0.0, 1.0]
-    # both attempts logged a step-2 train row; the reinit must have
-    # changed the seed, hence the trajectory
+    # own detect step but cannot restart (max_restarts reached).  With
+    # the always-failing 1.1 threshold, keep-best-on-exhaustion then
+    # replays attempt 0's seed IF attempt 0's gate read was the better
+    # one — in that case a third basin row (attempt 2 = the replay)
+    # appears with attempt 0's accuracy (bit-deterministic re-run).
+    attempts = [r["attempt"] for r in basin]
+    assert attempts[:2] == [0.0, 1.0]
+    assert len(basin) in (2, 3)
+    if len(basin) == 3:
+        assert attempts[2] == 2.0
+        assert basin[0]["accuracy"] > basin[1]["accuracy"]
+        assert basin[2]["accuracy"] == pytest.approx(
+            basin[0]["accuracy"], abs=1e-6)
+    else:
+        # no replay: the kept last attempt was already the best seen
+        assert basin[1]["accuracy"] >= basin[0]["accuracy"]
+    # the attempts logged distinct step-2 train rows; the reinit must
+    # have changed the seed, hence the trajectory
     step2 = [r["elbo"] for r in rows
              if r["split"] == "train" and r["step"] == 2]
-    assert len(step2) == 2 and step2[0] != step2[1]
+    assert len(step2) == len(basin) and step2[0] != step2[1]
     # the finished attempt covers the full budget past the detect step
     assert any(r["step"] == 6 for r in rows if r["split"] == "train")
     assert all(np.isfinite(r["elbo"]) for r in rows if "elbo" in r)
