@@ -15,6 +15,20 @@ while ! grep -q "campaign r43 done" runs/campaign_r43.log 2>/dev/null; do
 done
 echo "=== campaign r44 start ($(date +%H:%M:%S)) ===" >> "$log"
 
+# ---- 0. canvas byte experiment, remaining arm: bf16 carry ALONE ------
+# (r42 rejected canvas_rebuild on perf: control 512.6k vs rebuild+bf16
+# 463.0k vs rebuild+f32 448.0k — the step-parallel outside pastes cost
+# more than the carry-residual bytes save.  bf16 carry WITHOUT rebuild
+# keeps the likelihood path intact and only halves the carried canvas
+# bytes; quality-risky — quantizes the reconstruction — so it needs a
+# full quality gate IF the perf warrants one.)
+echo "=== canvas bench bf16-carry-only ($(date +%H:%M:%S)) ===" >> "$log"
+timeout 1200 python bench.py --config canonical_fast \
+  --model-set "canvas_carry_dtype='bfloat16'" \
+  > runs/bench_canvas_bf16carry.log 2>&1
+echo "rc=$? ($(date +%H:%M:%S))" >> "$log"
+grep -o '"value": [0-9.]*' runs/bench_canvas_bf16carry.log | head -1 >> "$log"
+
 for s in 33 34 35; do
   wd="runs/crowded_b1024_seed$s"
   if [ -s "${wd}_eval.log" ] && grep -q '"count_accuracy"' "${wd}_eval.log"; then
