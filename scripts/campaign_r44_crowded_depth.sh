@@ -29,6 +29,16 @@ timeout 1200 python bench.py --config canonical_fast \
 echo "rc=$? ($(date +%H:%M:%S))" >> "$log"
 grep -o '"value": [0-9.]*' runs/bench_canvas_bf16carry.log | head -1 >> "$log"
 
+# ---- 0b. scan100 bench re-probe (compile cliff resolved as a tunnel
+# fluke: K-independent ~10s compiles at every K and knob incl. the
+# shipped combination at K=100 — runs/compile_cliff.log).  Does K=100
+# actually beat the shipped K=50 at steady state?
+echo "=== bench scan100 re-probe ($(date +%H:%M:%S)) ===" >> "$log"
+timeout 1800 python bench.py --config canonical_fast --scan-steps 100 \
+  > runs/bench_scan100_r44.log 2>&1
+echo "rc=$? ($(date +%H:%M:%S))" >> "$log"
+grep -o '"value": [0-9.]*' runs/bench_scan100_r44.log | head -1 >> "$log"
+
 for s in 33 34 35; do
   wd="runs/crowded_b1024_seed$s"
   if [ -s "${wd}_eval.log" ] && grep -q '"count_accuracy"' "${wd}_eval.log"; then
