@@ -533,15 +533,26 @@ PRESETS = {
         # 50 [r4 retune, campaign r35 A/B]: 143.9k vs 141.5k img/s at
         # 20 (+1.7%) — the dispatch amortizer keeps paying even on the
         # heavier 100×100 step.
-        train=TrainConfig(batch_size=512, learning_rate=1e-4,
+        # batch 1024 + lr×√2, detector OFF [r5 prevention-vs-cure A/B,
+        # campaigns r41/r44 — VERDICT r4 next #3]: REINFORCE variance
+        # ∝ 1/B, and at twice the batch the early bad basin is ESCAPED
+        # rather than frozen — 6/6 fresh seeds ≥0.9997
+        # (0.9999/0.9997/0.9999/0.9999/0.9998/1.0000, seeds 30–35,
+        # runs/crowded_b1024_seed3*), matching the b512+detector cure's
+        # 6/6 ≥0.9998 with no restart machinery, no labels at a gate,
+        # and ~60% lower per-image cost (109.7k vs 68.6k img/s of
+        # training wall).  The 0.95 basin gate CANNOT be armed here:
+        # good b1024 runs read 0.72–0.91 at 10k (the basin un-freezes
+        # later), so prevention and cure are alternatives — the
+        # b512 + basin_detect_step=10_000 + threshold 0.95 procedure is
+        # the documented fallback for label-free-unfriendly deployments
+        # that need the smaller batch (BASELINE.md config-3 rows).
+        train=TrainConfig(batch_size=1024, learning_rate=1.4e-4,
                           baseline_learning_rate=1e-3,
                           grad_clip_norm=100.0, kl_warmup_steps=15_000,
                           n_iters=150_000, log_every=500,
                           fig_every=5_000, save_every=5_000,
-                          scan_steps=50,
-                          basin_detect_step=10_000,
-                          basin_accuracy_threshold=0.95,
-                          basin_max_restarts=5),
+                          scan_steps=50),
         # anneal_steps=100_000 [measured, campaign r19]: the 40k anneal
         # is seed-fragile on dense 4–5-digit scenes (5 seeds spanned
         # 0.642–0.998, median 0.844 — merge optima freeze while q(n) is

@@ -101,15 +101,25 @@ def test_tpu_presets_ship_the_benched_operating_point():
     assert get_config("crowded").train.scan_steps == 50
     # The frozen presence basin is NOT crowded-specific (canonical
     # seed2 froze at 0.7515 at the preset verbatim, runs/cfv5_seed2):
-    # every 50×50 training preset plus crowded ships the early-basin
+    # every 50×50 training preset ships the early-basin
     # detect-and-restart gate.
     for name in ("canonical_fast", "canonical_uniform",
-                 "canonical_uniform28", "iwae", "iwae_trained",
-                 "crowded"):
+                 "canonical_uniform28", "iwae", "iwae_trained"):
         cfg = get_config(name)
         assert cfg.train.basin_detect_step == 10_000, name
         assert cfg.train.basin_accuracy_threshold == 0.95, name
         assert cfg.train.basin_max_restarts >= 1, name
+    # crowded ships PREVENTION instead of the cure (r5 A/B, campaigns
+    # r41/r44): batch 1024 + lr*sqrt(2) escapes the early bad basin —
+    # 6/6 fresh seeds >=0.9997 with the detector OFF.  The 0.95 gate is
+    # MISCALIBRATED at b1024 (good runs read 0.72-0.91 at 10k), so a
+    # regression that re-arms it would false-fire on healthy runs, and
+    # a regression to b512 without re-arming the detector re-ships the
+    # 0.845-frozen-basin lottery.
+    crowded = get_config("crowded")
+    assert crowded.train.batch_size == 1024
+    assert crowded.train.learning_rate == pytest.approx(1.4e-4)
+    assert crowded.train.basin_detect_step == 0
     for name in PRESETS:
         cfg = get_config(name)
         k = cfg.train.scan_steps
