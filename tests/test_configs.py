@@ -91,10 +91,16 @@ def test_tpu_presets_ship_the_benched_operating_point():
         # (tests/test_train.py) and +5.2% on the headline step
         # (506.4k vs 481.3k img/s, runs/bench_xla_savest_r28.log)
         assert cfg.model.remat_policy == "save_st", name
-        # scan_steps=50 (r4 retune, campaign r32): monotone sweep
-        # 10/16/20/32/50 → 496.3/…/516.5k img/s; bit-exact vs
-        # sequential, so quality evidence is revision-stable under it.
-        assert cfg.train.scan_steps == 50, name
+        # scan_steps=100 (r5, after the compile cliff resolved as a
+        # tunnel fluke): +3.0% vs scan50 same-session (518.7k vs
+        # 504.3k, runs/bench_scan100_r44.log); numerically equivalent
+        # driver (rtol 1e-6 vs sequential, tests/test_train.py).
+        assert cfg.train.scan_steps == 100, name
+        # bf16 canvas carry (r5, campaigns r45/r46): +9.5% and gated on
+        # 3 full preset runs at 1.0000 / ELBO within 0.5 nats
+        # (runs/cf_bf16carry_seed*); a silent revert to an f32 carry
+        # re-opens the gap between product and headline.
+        assert cfg.model.canvas_carry_dtype == "bfloat16", name
     # crowded rides the same retune (campaign r35 A/B: 143.9k vs
     # 141.5k at scan20) — f32 by gate, but the scan driver is dtype-
     # independent.
