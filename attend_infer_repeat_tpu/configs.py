@@ -373,7 +373,11 @@ PRESETS = {
         # scan_steps is numerics-neutral (the scan body IS the per-step
         # body) and amortizes the ~0.9 ms host dispatch that dominates
         # batch-64 steps: 20.2k → ~180k img/s (BASELINE.md r3 row).
-        train=TrainConfig(scan_steps=50)),
+        # 100 [r5]: +3.0% vs 50 same-session (187.9k vs 182.4k,
+        # runs/bench_canonical_scan100.log) — trip count is bit-exact
+        # (cfv6 ELBOs reproduce the scan50 runs to 7 digits), so the
+        # literal trajectories are preserved exactly.
+        train=TrainConfig(scan_steps=100)),
     # 2b. TPU-native training regime for the canonical task: large batch
     # (REINFORCE variance ∝ 1/batch; batch 1024 is ~free on a v5e) with
     # proportionally larger learning rates and a faster prior anneal.
