@@ -332,7 +332,7 @@ def main():
         best = None
         for batch in (64, 256, 1024, 2048):
             for dtype in ("float32", "bfloat16"):
-                for k in (1, 20):
+                for k in (1, 100):
                     for remat in (False, True):
                         # with_cost skipped per point (compiling the
                         # unscanned twin doubles sweep time); the winner
