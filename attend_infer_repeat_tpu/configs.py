@@ -556,6 +556,14 @@ PRESETS = {
         # basin fragility the canonical task shook off persists here, so
         # the throughput levers that ship are the numerics-neutral ones
         # (scan_steps below; remat rides with dtype and stays off).
+        # canvas_carry_dtype stays f32 TOO [gate, r5 campaign r49]: the
+        # bf16 carry that shipped cleanly on the 50×50 presets (+9.5%)
+        # measures +19.9% here (183.6k vs 153.1k img/s — no remat, so
+        # the five per-step (B,100,100) canvas saves dominate activation
+        # bytes) but collapses seed41 to 0.3377 (seeds 40/42: 1.0000,
+        # runs/crowded_carry_seed4*) — the same fragility class as bf16
+        # compute, and the prevention preset has no detector to catch
+        # it.  Documented quality trade, not a default.
         model=ModelConfig(img_size=(100, 100), max_steps=5,
                           explore_eps=0.05, output_std=0.15,
                           where_prior_scale=(0.03, 0.03, 1.0, 1.0),
