@@ -105,6 +105,12 @@ def test_tpu_presets_ship_the_benched_operating_point():
     # 141.5k at scan20) — f32 by gate, but the scan driver is dtype-
     # independent.
     assert get_config("crowded").train.scan_steps == 50
+    # the literal preset ships scan100 too (r5: +3.0%, bit-exact trip
+    # count so the committed literal trajectories are preserved), but
+    # keeps the f32 carry — it is the literal reference reconstruction
+    assert get_config("canonical").train.scan_steps == 100
+    assert get_config("canonical").model.canvas_carry_dtype is None
+    assert get_config("crowded").model.canvas_carry_dtype is None
     # The frozen presence basin is NOT crowded-specific (canonical
     # seed2 froze at 0.7515 at the preset verbatim, runs/cfv5_seed2):
     # every 50×50 training preset ships the early-basin
